@@ -1,0 +1,101 @@
+"""Multi-object scene composition vs the CPU oracle (BASELINE config 4
+ingredients: per-object transforms + nearest-hit compositing)."""
+
+import numpy as np
+import pytest
+
+from voxel_tracer_tpu.models.camera import Camera, rays_for_image
+from voxel_tracer_tpu.models.scene import Scene
+from voxel_tracer_tpu.models.volume import VoxelVolume
+from voxel_tracer_tpu.ops import composite, oracle
+from voxel_tracer_tpu.ops.math3d import BIG_F32
+
+
+def _box_grid(n, material):
+    g = np.zeros((n, n, n), np.uint8)
+    g[1:-1, 1:-1, 1:-1] = material
+    return g
+
+
+def _make_scene(n_objects=6, grid_n=16, seed=1):
+    rng = np.random.RandomState(seed)
+    vols = []
+    for i in range(n_objects):
+        pos = rng.rand(3) * 3.0 - 1.5
+        vols.append(VoxelVolume(_box_grid(grid_n, 10 + i), pos=pos, vpu=20.0))
+    return Scene(volumes=vols)
+
+
+def _oracle_vols(scene):
+    return [
+        oracle.OracleVolume(grid=v.grid, vpu=v.vpu, pos=v.pos, rot=v.rot,
+                            palette=v.palette)
+        for v in scene.volumes
+    ]
+
+
+@pytest.mark.parametrize("n_objects", [2, 6])
+def test_nearest_hit_matches_oracle(n_objects):
+    scene = _make_scene(n_objects)
+    cam = Camera.create((0.3, 0.25, -4.2), (0, 0, 0), 1.0)
+    o, d = rays_for_image(cam, 24, 24)
+    o, d = np.asarray(o), np.asarray(d)
+
+    hit = composite.intersect_scene(scene.data(), o, d, max_candidates=4)
+    jt = np.asarray(hit.t)
+    jm = np.asarray(hit.mat)
+
+    ovols = _oracle_vols(scene)
+    mism = 0
+    for i in range(o.shape[0]):
+        h = oracle.intersect_scene(ovols, o[i], d[i])
+        if h.no_hit != (jt[i] >= BIG_F32 * 0.99):
+            mism += 1
+            continue
+        if h.no_hit:
+            continue
+        if not np.isclose(jt[i], h.depth, atol=2e-3, rtol=1e-4):
+            mism += 1
+            continue
+        assert jm[i] == h.material
+    assert mism <= max(2, o.shape[0] // 100), f"{mism} mismatches"
+
+
+def test_candidate_overflow_still_finds_front_hit():
+    """More overlapping objects than max_candidates: the nearest K by slab
+    entry must still contain the true nearest hit."""
+    vols = []
+    for i in range(6):
+        # nested boxes along z, nearest is i=0
+        vols.append(VoxelVolume(_box_grid(8, 20 + i),
+                                pos=(0, 0, 0.08 * i), vpu=20.0))
+    scene = Scene(volumes=vols).data()
+    o = np.array([[0.0, 0.0, -3.0]], np.float32)
+    d = np.array([[0.0, 0.0, 1.0]], np.float32)
+    hit = composite.intersect_scene(scene, o, d, max_candidates=2)
+    assert np.asarray(hit.t)[0] < BIG_F32
+    assert np.asarray(hit.mat)[0] == 20  # front box
+
+
+def test_mixed_shape_groups():
+    """Volumes of different grid shapes fall into separate stacked groups."""
+    v1 = VoxelVolume(_box_grid(8, 5), pos=(-0.5, 0, 0), vpu=20.0)
+    v2 = VoxelVolume(_box_grid(16, 9), pos=(0.6, 0, 0), vpu=20.0)
+    scene = Scene(volumes=[v1, v2]).data()
+    assert len(scene.groups) == 2
+    o = np.array([[-0.5, 0.0, -2.0], [0.6, 0.0, -2.0]], np.float32)
+    d = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], np.float32)
+    hit = composite.intersect_scene(scene, o, d)
+    assert np.asarray(hit.mat)[0] == 5
+    assert np.asarray(hit.mat)[1] == 9
+
+
+def test_is_occluded_tmax():
+    v = VoxelVolume(_box_grid(8, 5), pos=(0, 0, 0), vpu=20.0)
+    scene = Scene(volumes=[v]).data()
+    o = np.array([[0.0, 0.0, -2.0]], np.float32)
+    d = np.array([[0.0, 0.0, 1.0]], np.float32)
+    occ_far, _ = composite.is_occluded(scene, o, d, 10.0)
+    occ_near, _ = composite.is_occluded(scene, o, d, 0.5)
+    assert bool(np.asarray(occ_far)[0]) is True
+    assert bool(np.asarray(occ_near)[0]) is False

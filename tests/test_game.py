@@ -1,0 +1,112 @@
+"""Game layer: player flight, enemy steering, laser carving, state machine."""
+
+import numpy as np
+
+from voxel_tracer_tpu.game.enemy import Enemy
+from voxel_tracer_tpu.game.game import Game, GameState
+from voxel_tracer_tpu.game.player import Input, Player
+from voxel_tracer_tpu.models.scene import Scene
+from voxel_tracer_tpu.models.volume import VoxelVolume
+from voxel_tracer_tpu.ops.math3d import BIG_F32
+
+
+def _solid_volume(n=16, mat=30, pos=(0, 0, 0)):
+    g = np.full((n, n, n), mat, np.uint8)
+    return VoxelVolume(g, pos=pos, vpu=20.0)
+
+
+class TestPlayer:
+    def test_forward_motion_and_depth_delta(self):
+        p = Player()
+        pos0 = p.pos.copy()
+        for _ in range(30):
+            pos, target, dd = p.tick(1 / 60, Input(forward=1.0))
+        assert pos[2] < pos0[2]  # default yaw faces -z
+        assert dd > 0.0
+
+    def test_velocity_damping(self):
+        p = Player()
+        p.tick(1 / 60, Input(forward=1.0))
+        v1 = np.linalg.norm(p.velocity)
+        for _ in range(120):
+            p.tick(1 / 60, Input())
+        assert np.linalg.norm(p.velocity) < v1 * 0.1
+
+    def test_pitch_clamped(self):
+        p = Player()
+        for _ in range(100):
+            p.tick(1 / 60, Input(mouse_dy=-500))
+        assert p.pitch <= 0.4 + 1e-6
+
+
+class TestEnemy:
+    def test_steers_toward_player(self):
+        rng = np.random.RandomState(0)
+        e = Enemy(_solid_volume(), rng)
+        e.pos = np.array([10.0, 0.0, 0.0])
+        player = np.zeros(3)
+        d0 = np.linalg.norm(e.pos - player)
+        for _ in range(120):
+            e.tick(1 / 60, player, [e])
+        assert np.linalg.norm(e.pos - player) < d0
+
+    def test_hit_carves_voxel_and_kills(self):
+        rng = np.random.RandomState(0)
+        vol = _solid_volume(8)
+        restored = []
+        e = Enemy(vol, rng, reload_fn=lambda m: restored.append(True))
+        e.health = 2
+        solid_before = (vol.grid != 0).sum()
+        # hit the +z face center
+        hp = vol.pos + np.array([0.0, 0.0, -vol.size[2] / 2], np.float32)
+        died = e.process_hit(hp, np.array([0, 0, -1.0], np.float32))
+        assert not died
+        assert (vol.grid != 0).sum() == solid_before - 1
+        died = e.process_hit(hp, np.array([0, 0, -1.0], np.float32))
+        assert died and restored
+
+
+class TestGame:
+    def _intersect(self, scene_vols):
+        from voxel_tracer_tpu.ops import oracle
+
+        ovols = [oracle.OracleVolume(grid=v.grid, vpu=v.vpu, pos=v.pos,
+                                     rot=v.rot) for v in scene_vols]
+
+        def fn(o, d):
+            h = oracle.intersect_scene(ovols, o, d)
+            return h.depth, h.material, h.normal
+        return fn
+
+    def test_state_machine_and_score(self):
+        rng = np.random.RandomState(1)
+        vol = _solid_volume(8, mat=30, pos=(0, 0, -3))
+        enemy = Enemy(vol, rng)
+        enemy.pos = np.array([0.0, 0.0, -3.0])
+        vol.set_position(enemy.pos)
+        scene = Scene(volumes=[vol])
+        game = Game(scene, [enemy], intersect_fn=self._intersect([vol]),
+                    aspect=1.0)
+        assert game.state == GameState.MENU
+        game.start()
+        assert game.state == GameState.GAME
+
+        # fire the laser straight ahead at the enemy volume
+        solid_before = (vol.grid != 0).sum()
+        game.tick(1 / 60, Input(fire=True))
+        assert game.score >= 1
+        assert (vol.grid != 0).sum() == solid_before - 1
+        assert len(game.laser_path) >= 2
+        assert game.hud_lines()
+
+    def test_game_over_when_caught(self):
+        rng = np.random.RandomState(2)
+        vol = _solid_volume(8)
+        enemy = Enemy(vol, rng)
+        enemy.pos = np.array([0.0, 0.0, -2.0])  # within catch radius? no
+        scene = Scene(volumes=[vol])
+        game = Game(scene, [enemy], aspect=1.0)
+        game.start()
+        enemy.pos = game.player.pos + np.array([0.1, 0.0, 0.0])
+        game.tick(1 / 60, Input())
+        assert game.state == GameState.GAME_OVER

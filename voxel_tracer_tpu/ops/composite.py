@@ -53,11 +53,20 @@ class HitResult(NamedTuple):
         )
 
 
+def _mat3_t_apply(rot, v):
+    """R^T @ v via elementwise ops — full f32 on TPU (a (3,3) matmul would
+    route to the MXU at bf16 precision and add ~1e-3 depth noise)."""
+    return jnp.stack([
+        rot[..., 0, 0] * v[..., 0] + rot[..., 1, 0] * v[..., 1] + rot[..., 2, 0] * v[..., 2],
+        rot[..., 0, 1] * v[..., 0] + rot[..., 1, 1] * v[..., 1] + rot[..., 2, 1] * v[..., 2],
+        rot[..., 0, 2] * v[..., 0] + rot[..., 1, 2] * v[..., 1] + rot[..., 2, 2] * v[..., 2],
+    ], axis=-1)
+
+
 def _to_local(rot, pos, pivot, origins, dirs):
     """World -> volume-local rays (OBB::world_to_local, obb.cpp:128-134)."""
-    rt = jnp.swapaxes(rot, -1, -2)
-    o_l = (rt @ (origins - pos)[..., None])[..., 0] + pivot
-    d_l = (rt @ dirs[..., None])[..., 0]
+    o_l = _mat3_t_apply(rot, origins - pos) + pivot
+    d_l = _mat3_t_apply(rot, dirs)
     return o_l, d_l
 
 

@@ -40,15 +40,25 @@ class EmaFps:
         return 1.0 / self.frame_time if self.frame_time else 0.0
 
 
-def device_time(fn, *args, warmup: int = 2, iters: int = 10):
-    """Time a jitted function with block_until_ready (bench harness)."""
+def _force_sync(out):
+    """Materialize one scalar on the host — `block_until_ready` alone does
+    not reliably block on experimental PJRT backends (axon tunnel)."""
     import jax
+    import numpy as np
 
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
+def device_time(fn, *args, warmup: int = 2, iters: int = 10):
+    """Time a jitted function end-to-end with a forced host sync."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force_sync(out)
     t = Timer()
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force_sync(out)
     return t.elapsed() / iters, out
