@@ -5,8 +5,8 @@ import numpy as np
 from voxel_tracer_tpu.engine.gjk import (BoxSupport, SphereSupport,
                                          gjk_intersect)
 from voxel_tracer_tpu.engine.physics import (BoxCollider, PhyObject, PhyWorld,
-                                             PlaneCollider, SphereCollider,
-                                             test_collision)
+                                             PlaneCollider, SphereCollider)
+from voxel_tracer_tpu.engine.physics import test_collision as check_collision
 from voxel_tracer_tpu.engine.pool import Pool
 from voxel_tracer_tpu.engine.sat import box_box_sat
 from voxel_tracer_tpu.ops import curves
@@ -51,9 +51,10 @@ class TestGjk:
         c, s = np.cos(0.78), np.sin(0.78)
         rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         a = BoxSupport((0, 0, 0), np.eye(3), (1, 1, 1))
-        b = BoxSupport((2.5, 0, 0), rot, (1, 1, 1))
-        assert gjk_intersect(a, b)  # rotated corner reaches
-        c2 = BoxSupport((4.0, 0, 0), rot, (1, 1, 1))
+        # rotated corner reaches sqrt(2) ~ 1.414, so 2.3 overlaps, 2.6 not
+        b = BoxSupport((2.3, 0, 0), rot, (1, 1, 1))
+        assert gjk_intersect(a, b)
+        c2 = BoxSupport((2.6, 0, 0), rot, (1, 1, 1))
         assert not gjk_intersect(a, c2)
 
 
@@ -85,8 +86,8 @@ class TestPhysics:
         s = PhyObject(pos=np.zeros(3), collider=SphereCollider(1.0))
         b = PhyObject(pos=np.array([1.2, 0, 0]), collider=BoxCollider())
         # (Box, Sphere) registered; (Sphere, Box) must dispatch via swap
-        assert test_collision(s, b)
-        assert test_collision(b, s)
+        assert check_collision(s, b)
+        assert check_collision(b, s)
 
 
 class TestCurves:

@@ -90,6 +90,11 @@ class TestGame:
         assert game.state == GameState.MENU
         game.start()
         assert game.state == GameState.GAME
+        # start() respawns enemies to random positions (enemy.h respawn);
+        # park this one right in front of the player for the laser shot
+        enemy.pos = np.array([0.0, 0.0, -3.0])
+        enemy.velocity = np.zeros(3)
+        vol.set_position(enemy.pos)
 
         # fire the laser straight ahead at the enemy volume
         solid_before = (vol.grid != 0).sum()

@@ -39,11 +39,13 @@ class TestFramebuffer:
 class TestAov:
     def _aovs(self):
         h, w = 8, 8
+        n = np.random.randn(h, w, 3).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
         return dict(
             image=np.random.rand(h, w, 3).astype(np.float32),
             albedo=np.random.rand(h, w, 3).astype(np.float32),
             irradiance=np.random.rand(h, w, 3).astype(np.float32),
-            normal=np.random.randn(h, w, 3).astype(np.float32),
+            normal=n,
             depth=np.where(np.random.rand(h, w) > 0.5, 2.0, 1e30).astype(np.float32),
             steps=np.random.randint(0, 200, (h, w)),
             material=np.random.randint(0, 255, (h, w)),

@@ -94,13 +94,14 @@ def _select16(widx, words):
     return jnp.where((widx & 8) == 0, lvl[0], lvl[1])
 
 
-def _make_kernel(bsize, vpu, max_bricks_per_tile, fine_iters):
+def _make_kernel(bsize, vpu, max_bricks_per_tile, fine_iters,
+                 tile_rows=TILE_ROWS):
     """Build the tile kernel specialized for a brick-grid size and vpu."""
     BX, BY, BZ = bsize
     NB = BX * BY * BZ
     bpu = vpu / BRICK
     rbpu = 1.0 / bpu
-    shape = (TILE_ROWS, TILE_LANES)
+    shape = (tile_rows, TILE_LANES)
 
     def kernel(occ_ref, words_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -409,10 +410,11 @@ def _make_kernel(bsize, vpu, max_bricks_per_tile, fine_iters):
 
 @functools.partial(jax.jit, static_argnames=("bsize", "vpu",
                                              "max_bricks_per_tile",
-                                             "fine_iters", "interpret"))
+                                             "fine_iters", "interpret",
+                                             "tile_rows"))
 def trace_coherent(occ, words, o_l, d_l, bsize, vpu,
                    max_bricks_per_tile: int = 64, fine_iters: int = 24,
-                   interpret: bool = False):
+                   interpret: bool = False, tile_rows: int = TILE_ROWS):
     """Trace N local-space rays via the coherent tile kernel.
 
     o_l, d_l: (N, 3) with N a multiple of 1024 (pad outside).
@@ -420,22 +422,24 @@ def trace_coherent(occ, words, o_l, d_l, bsize, vpu,
     steps, resolved (bool — False rays need the fallback tracer).
     """
     n = o_l.shape[0]
-    assert n % TILE == 0, f"{n} rays not a multiple of {TILE}"
-    n_tiles = n // TILE
-    comp = [o_l[:, i].reshape(n_tiles * TILE_ROWS, TILE_LANES) for i in range(3)]
-    comp += [d_l[:, i].reshape(n_tiles * TILE_ROWS, TILE_LANES) for i in range(3)]
+    tile = tile_rows * TILE_LANES
+    assert n % tile == 0, f"{n} rays not a multiple of {tile}"
+    n_tiles = n // tile
+    comp = [o_l[:, i].reshape(n_tiles * tile_rows, TILE_LANES) for i in range(3)]
+    comp += [d_l[:, i].reshape(n_tiles * tile_rows, TILE_LANES) for i in range(3)]
 
-    kernel = _make_kernel(bsize, vpu, max_bricks_per_tile, fine_iters)
+    kernel = _make_kernel(bsize, vpu, max_bricks_per_tile, fine_iters,
+                          tile_rows)
     nb = bsize[0] * bsize[1] * bsize[2]
 
-    block = pl.BlockSpec((TILE_ROWS, TILE_LANES),
+    block = pl.BlockSpec((tile_rows, TILE_LANES),
                          lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shapes = [
-        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * tile_rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * tile_rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * tile_rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * tile_rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * tile_rows, TILE_LANES), jnp.int32),
     ]
     outs = pl.pallas_call(
         kernel,

@@ -46,6 +46,27 @@ def _pad_rays(o, d):
     return o, d, n
 
 
+def tiles_of_image(x, height, width, tile=32):
+    """(H*W, ...) row-major rays -> square-tile order (pure relayout).
+
+    Square pixel tiles give the kernel tight per-slice rects; half-row
+    tiles (the naive flat order) have frustums wider than the brick budget
+    and fall back/miss.  H and W must divide by `tile`.
+    """
+    rest = x.shape[1:]
+    x = x.reshape(height // tile, tile, width // tile, tile, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *rest)
+
+
+def image_of_tiles(x, height, width, tile=32):
+    """Inverse of `tiles_of_image`."""
+    rest = x.shape[1:]
+    x = x.reshape(height // tile, width // tile, tile, tile, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *rest)
+
+
 @functools.partial(jax.jit, static_argnames=("bsize", "vpu", "use_fallback"))
 def _trace_fast(data: VolumeData, occ, words, origins, dirs, bsize, vpu,
                 use_fallback: bool = True):
@@ -122,15 +143,24 @@ def _render_flat_fast(data, occ, words, sky_pixels, camera, bsize, vpu,
     from voxel_tracer_tpu.ops import tonemap
 
     origins, dirs = rays_for_image(camera, width, height)
+    tiled = width % 32 == 0 and height % 32 == 0
+    if tiled:
+        origins = tiles_of_image(origins, height, width)
+        dirs = tiles_of_image(dirs, height, width)
     hit = _trace_fast(data, occ, words, origins, dirs, bsize, vpu,
                       use_fallback)
     missed = hit.t >= BIG_F32
     sky = sample_sky(SkyDomeData(pixels=sky_pixels), dirs)
     color = jnp.where(missed[:, None], sky, hit.albedo)
     img = tonemap.aces_approx(color)
+    t, steps = hit.t, hit.steps
+    if tiled:
+        img = image_of_tiles(img, height, width)
+        t = image_of_tiles(t, height, width)
+        steps = image_of_tiles(steps, height, width)
     return dict(image=img.reshape(height, width, 3),
-                depth=hit.t.reshape(height, width),
-                steps=hit.steps.reshape(height, width))
+                depth=t.reshape(height, width),
+                steps=steps.reshape(height, width))
 
 
 def render_flat_fast(fv: FastVolume, sky_pixels, camera, width, height,
