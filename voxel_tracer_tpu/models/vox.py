@@ -12,6 +12,7 @@ Format spec: https://github.com/ephtracy/voxel-model/blob/master/MagicaVoxel-fil
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import List
@@ -67,8 +68,42 @@ class VoxModel:
         return self.palette[:, :3].astype(np.float32) / 255.0
 
 
-def parse_vox(data: bytes) -> List[VoxModel]:
-    """Parse .vox bytes into a list of models (shared palette)."""
+def _native_module():
+    """The C fast parser (native/voxparse.c), if built."""
+    import importlib
+    import sys
+
+    if "_voxnative" in sys.modules:
+        return sys.modules["_voxnative"]
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native")
+    if native_dir not in sys.path:
+        sys.path.append(native_dir)
+    try:
+        return importlib.import_module("_voxnative")
+    except ImportError:
+        return None
+
+
+def parse_vox(data: bytes, use_native: bool = True) -> List[VoxModel]:
+    """Parse .vox bytes into a list of models (shared palette).
+
+    Uses the C extension when available (zero per-voxel Python work);
+    falls back to the pure-Python chunk walker below.
+    """
+    native = _native_module() if use_native else None
+    if native is not None:
+        raw_models, pal_bytes = native.parse_vox(data)
+        palette = (
+            np.frombuffer(pal_bytes, np.uint8).reshape(256, 4).copy()
+            if pal_bytes is not None else _default_palette())
+        out = []
+        for (sx, sy, sz, grid_bytes) in raw_models:
+            grid = np.frombuffer(grid_bytes, np.uint8).reshape(sx, sz, sy)
+            out.append(VoxModel(grid=grid.copy(), palette=palette))
+        return out
+
     if data[:4] != b"VOX ":
         raise ValueError("not a .vox file (missing 'VOX ' magic)")
     # version = struct.unpack_from("<i", data, 4)[0]

@@ -13,7 +13,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import warnings
+
+with warnings.catch_warnings():
+    # jax.shard_map (new API) renames check_rep; keep the stable legacy
+    # entry point until the new one is the only option
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
 
 from voxel_tracer_tpu.models.camera import Camera, rays_for_image
 from voxel_tracer_tpu.models.scene import SceneData
