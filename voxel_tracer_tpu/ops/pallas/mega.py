@@ -1,0 +1,764 @@
+"""Fused frame megakernel: raygen + two-level DDA + shade + tonemap.
+
+One Pallas kernel renders a whole flat-shaded frame tile-by-tile with ZERO
+intermediate HBM arrays: no (N,3) ray buffers, no post-kernel material /
+palette / sky gathers (XLA's dynamic gathers cost ~2 ms per million rays on
+TPU — they dominated the unfused pipeline).  Everything rides VMEM lane
+gathers (Mosaic `dynamic_gather` via `jnp.take_along_axis` on the lane dim):
+
+- per-tile raygen from 12 camera floats in SMEM (camera.h:32-37 semantics,
+  pre-transformed to volume-local space, obb.cpp:128-134);
+- brick-slice coherent traversal (vv.cpp:449-870 re-thought for the VPU:
+  slice marching along the tile's shared major axis, scalar rect walks,
+  brick-level slab tests, masked in-register fine DDA — see coherent.py);
+- the fine DDA reads a brick's 512 occupancy bits as ONE VMEM row load +
+  one lane gather per step (vs 16 scalar SMEM reads + a 15-op select tree);
+- the hit voxel's 8-bit material is fetched ONCE per brick from a
+  (NB, 128) byte-packed VMEM table: row load + lane gather + byte extract;
+- palette -> albedo via lane gathers from a (6, 128) palette table;
+- misses get the analytic procedural sky (SkyDome.procedural formula
+  evaluated at the exact ray dir instead of a texel center), constant sky,
+  or are left for an XLA HDR-texture blend by the caller;
+- ACES tonemap (tonemap.h:22-30) + RGBA8 pack (precomp.h:342-359) in-kernel.
+
+Outputs are in square-tile order ((n_tiles*R, 128): tile-major, row-major
+32x32 pixels inside each tile); `integrate.image_of_tiles` restores image
+order.  Rays that fight the tile's major axis are flagged unresolved via
+the aux word so callers can re-trace the residue with the XLA wavefront.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3e37
+BRICK = 8
+LANES = 128
+
+# aux word layout: mat (8b) | axis (2b) | sign (1b) | resolved (1b) | steps (19b)
+AUX_MAT_SHIFT = 0
+AUX_AX_SHIFT = 8
+AUX_SIGN_SHIFT = 10
+AUX_RESOLVED_SHIFT = 11
+AUX_STEPS_SHIFT = 12
+
+
+class MegaTables(NamedTuple):
+    """Device tables for the megakernel (built host-side from a grid)."""
+
+    occ: jnp.ndarray       # (1, NB) i32 SMEM occupancy flags
+    occw: jnp.ndarray      # (ceil(NB/8), 128) i32: 8 bricks/row x 16 words
+    wsm: jnp.ndarray       # (16, NB) i32: same words, SMEM word-major layout
+    matw: jnp.ndarray      # (NB, 128) i32: 512 material bytes per brick
+    bsize: tuple           # (BX, BY, BZ) python ints
+    vpu: float
+
+
+def pack_mega(grid: np.ndarray, vpu: float) -> MegaTables:
+    """Host-side packing of a (Z, Y, X) uint8 grid into kernel tables.
+
+    Bit/byte index inside a brick: idx = z*64 + y*8 + x (vv.h:23-38 layout).
+    """
+    gz, gy, gx = grid.shape
+    bx, by, bz = (gx + 7) // 8, (gy + 7) // 8, (gz + 7) // 8
+    nb = bx * by * bz
+    pad = np.zeros((bz * 8, by * 8, bx * 8), np.uint8)
+    pad[:gz, :gy, :gx] = grid
+    # (bz, 8, by, 8, bx, 8) -> (brick, z, y, x) -> (NB, 512) bytes
+    b = pad.reshape(bz, 8, by, 8, bx, 8).transpose(0, 2, 4, 1, 3, 5)
+    bytes_ = b.reshape(nb, 512)
+
+    bits = (bytes_ != 0).astype(np.uint32)
+    w = bits.reshape(nb, 16, 32)
+    shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+    occw16 = (w * shifts[None, None, :]).sum(axis=2, dtype=np.uint64)
+    occw16 = occw16.astype(np.uint32)                     # (NB, 16)
+    nbr = (nb + 7) // 8
+    occw_rows = np.zeros((nbr, 128), np.int32)            # row: 8 bricks
+    occw_rows.reshape(-1)[: nb * 16] = occw16.view(np.int32).reshape(-1)
+
+    mw = bytes_.reshape(nb, 128, 4).astype(np.uint32)
+    matw = (mw[:, :, 0] | (mw[:, :, 1] << 8) | (mw[:, :, 2] << 16)
+            | (mw[:, :, 3] << 24)).view(np.int32)          # (NB, 128)
+
+    occ = bits.any(axis=1).astype(np.int32).reshape(1, nb)
+    return MegaTables(
+        occ=jnp.asarray(occ),
+        occw=jnp.asarray(occw_rows),
+        wsm=jnp.asarray(occw16.view(np.int32).T.copy()),
+        matw=jnp.asarray(matw),
+        bsize=(bx, by, bz),
+        vpu=float(vpu),
+    )
+
+
+def pack_palette(palette: np.ndarray) -> jnp.ndarray:
+    """(256, 3) f32 palette -> (8, 128) lane-gather table.
+
+    Row 2*c + h holds component c for palette entries h*128..h*128+127.
+    """
+    pal = np.zeros((8, 128), np.float32)
+    p = np.asarray(palette, np.float32)
+    for c in range(3):
+        pal[2 * c + 0] = p[:128, c]
+        pal[2 * c + 1] = p[128:256, c]
+    return jnp.asarray(pal)
+
+
+SKY_ZENITH = (0.35, 0.45, 0.65)
+SKY_HORIZON = (0.85, 0.65, 0.45)
+SKY_BASE = (0.08, 0.08, 0.10)
+SKY_SUNCOL = (1.0, 0.9, 0.75)
+
+
+def _analytic_sky(dw, sun):
+    """SkyDome.procedural formula at exact dirs (skydome.py) — vector ops."""
+    y = dw[1]
+    cos_sun = dw[0] * sun[0] + dw[1] * sun[1] + dw[2] * sun[2]
+    horizon = jnp.exp(-jnp.abs(y) * 3.0)
+    zenith = jnp.clip(y, 0.0, 1.0)
+    c2 = jnp.clip(cos_sun, 0.0, 1.0)
+    g2 = c2 * c2
+    g4 = g2 * g2
+    g8 = g4 * g4
+    g16 = g8 * g8
+    glow = g16 * g16
+    disk = jnp.clip((cos_sun - 0.9995) * 2000.0, 0.0, 1.0)
+    disk = disk * disk
+    lum = 25.0 * disk + 0.6 * glow
+    out = []
+    for c in range(3):
+        v = (SKY_ZENITH[c] * zenith + SKY_HORIZON[c] * horizon + SKY_BASE[c]
+             + lum * SKY_SUNCOL[c])
+        out.append(jnp.sqrt(jnp.maximum(v, 0.0)) * 0.65)
+    return out
+
+
+def _aces(v):
+    """tonemap.aces_approx (tonemap.h:22-30)."""
+    v = v * 0.6
+    return jnp.clip((v * (2.51 * v + 0.03)) / (v * (2.43 * v + 0.59) + 0.14),
+                    0.0, 1.0)
+
+
+def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
+                      max_bricks_per_tile, fine_iters, sky_mode,
+                      shading, ambient, word_gather=True, fetch_mat=True,
+                      fine_unroll=1, track_steps=True):
+    """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
+
+    shading: 'flat' (albedo) or 'lambert' (N.L sun + ambient, no shadows —
+    shadowed lambert needs a second ray pass, see renderer_fast).
+    """
+    BX, BY, BZ = bsize
+    NB = BX * BY * BZ
+    bpu = vpu / BRICK
+    rbpu = 1.0 / bpu
+    shape = (tile_rows, LANES)
+    log_tw = int(np.log2(tile_w))
+    assert 1 << log_tw == tile_w
+
+    def kernel(cam_ref, occ_ref, occw_ref, wsm_ref, matw_ref, pal_ref,
+               rgba_ref, t_ref, aux_ref):
+        ti = pl.program_id(0)
+        ty = ti // nx_tiles
+        tx = ti - ty * nx_tiles
+
+        # ---- in-kernel raygen (camera.h:32-37, local space) ---------------
+        fl = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        px = (tx * tile_w + (fl & (tile_w - 1))).astype(jnp.float32)
+        py = (ty * (tile_rows * LANES // tile_w)
+              + (fl >> log_tw)).astype(jnp.float32)
+        o3 = tuple(cam_ref[i] for i in range(3))          # scalar origin
+        ex = cam_ref[3] + px * cam_ref[6] + py * cam_ref[9] - o3[0]
+        ey = cam_ref[4] + px * cam_ref[7] + py * cam_ref[10] - o3[1]
+        ez = cam_ref[5] + px * cam_ref[8] + py * cam_ref[11] - o3[2]
+        rn = jax.lax.rsqrt(ex * ex + ey * ey + ez * ez)
+        dx, dy, dz = ex * rn, ey * rn, ez * rn
+        d3 = (dx, dy, dz)
+        ox = jnp.full(shape, o3[0], jnp.float32)
+        oy = jnp.full(shape, o3[1], jnp.float32)
+        oz = jnp.full(shape, o3[2], jnp.float32)
+        o3v = (ox, oy, oz)
+
+        size = (BX * BRICK / vpu, BY * BRICK / vpu, BZ * BRICK / vpu)
+
+        # ---- slab entry (obb.cpp:48-80 semantics) --------------------------
+        tmin = jnp.zeros(shape, jnp.float32)
+        tmax = jnp.full(shape, BIG, jnp.float32)
+        entry_axis = jnp.zeros(shape, jnp.int32)
+        for a in range(3):
+            rd = jnp.clip(1.0 / d3[a], -BIG, BIG)
+            t1 = (0.0 - o3v[a]) * rd
+            t2 = (size[a] - o3v[a]) * rd
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            tn = jnp.where(jnp.isnan(tn), -BIG, tn)
+            tf = jnp.where(jnp.isnan(tf), BIG, tf)
+            upd = tn > tmin
+            entry_axis = jnp.where(upd, a, entry_axis)
+            tmin = jnp.maximum(tmin, tn)
+            tmax = jnp.minimum(tmax, tf)
+        valid = (tmax - 1e-4) >= tmin
+
+        # ---- tile major axis from the center ray (all scalar ops) ---------
+        tile_h = tile_rows * LANES // tile_w
+        cxp = tx * tile_w + tile_w * 0.5
+        cyp = ty * tile_h + tile_h * 0.5
+        mdx = cam_ref[3] + cxp * cam_ref[6] + cyp * cam_ref[9] - o3[0]
+        mdy = cam_ref[4] + cxp * cam_ref[7] + cyp * cam_ref[10] - o3[1]
+        mdz = cam_ref[5] + cxp * cam_ref[8] + cyp * cam_ref[11] - o3[2]
+        amx, amy, amz = jnp.abs(mdx), jnp.abs(mdy), jnp.abs(mdz)
+        k = jnp.where((amx >= amy) & (amx >= amz), 0,
+                      jnp.where(amy >= amz, 1, 2)).astype(jnp.int32)
+        ksign = jnp.where(
+            jnp.where(k == 0, mdx, jnp.where(k == 1, mdy, mdz)) >= 0.0,
+            1, -1).astype(jnp.int32)
+
+        def pick3(a, b, c, axis):
+            return jnp.where(axis == 0, a, jnp.where(axis == 1, b, c))
+
+        # ---- tile corner rays (scalars): bound slice footprints -----------
+        # The tile frustum's section on a k-plane is the hull of the 4
+        # corner-ray intersections — scalar math replaces 4 cross-lane
+        # min/max reductions per slice (vv.cpp:461-535's incremental rect).
+        corners = []
+        for pxc, pyc in ((tx * tile_w - 0.5, ty * tile_h - 0.5),
+                         (tx * tile_w + tile_w, ty * tile_h - 0.5),
+                         (tx * tile_w - 0.5, ty * tile_h + tile_h),
+                         (tx * tile_w + tile_w, ty * tile_h + tile_h)):
+            cex = cam_ref[3] + pxc * cam_ref[6] + pyc * cam_ref[9] - o3[0]
+            cey = cam_ref[4] + pxc * cam_ref[7] + pyc * cam_ref[10] - o3[1]
+            cez = cam_ref[5] + pxc * cam_ref[8] + pyc * cam_ref[11] - o3[2]
+            cok = pick3(o3[0], o3[1], o3[2], k)
+            cou = pick3(o3[0], o3[1], o3[2], (k + 1) % 3)
+            cov = pick3(o3[0], o3[1], o3[2], (k + 2) % 3)
+            cdk = pick3(cex, cey, cez, k)
+            cdu = pick3(cex, cey, cez, (k + 1) % 3)
+            cdv = pick3(cex, cey, cez, (k + 2) % 3)
+            cinv = jnp.clip(1.0 / cdk, -BIG, BIG)
+            corners.append((cok, cou, cov, cdu, cdv, cinv))
+
+        ku = (k + 1) % 3
+        kv = (k + 2) % 3
+        ok_ = pick3(ox, oy, oz, k); dk_ = pick3(dx, dy, dz, k)
+        ou_ = pick3(ox, oy, oz, ku); du_ = pick3(dx, dy, dz, ku)
+        ov_ = pick3(ox, oy, oz, kv); dv_ = pick3(dx, dy, dz, kv)
+        nk = pick3(BX, BY, BZ, k)
+        nu = pick3(BX, BY, BZ, ku)
+        nv = pick3(BX, BY, BZ, kv)
+
+        aligned = dk_ * ksign.astype(jnp.float32) > 1e-6
+        resolved = aligned | ~valid
+        active0 = valid & aligned
+        rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
+
+        hit_t = jnp.full(shape, BIG, jnp.float32)
+        hit_mat = jnp.zeros(shape, jnp.int32)
+        hit_ax = entry_axis * 2
+        steps = jnp.zeros(shape, jnp.int32)
+
+        sgnx = jnp.where(jnp.signbit(dx), -1, 1).astype(jnp.int32)
+        sgny = jnp.where(jnp.signbit(dy), -1, 1).astype(jnp.int32)
+        sgnz = jnp.where(jnp.signbit(dz), -1, 1).astype(jnp.int32)
+
+        s_begin = jnp.where(ksign > 0, 0, nk - 1)
+        u_fwd = pick3(mdx, mdy, mdz, ku) >= 0.0
+        v_fwd = pick3(mdx, mdy, mdz, kv) >= 0.0
+
+        rdx = jnp.clip(1.0 / dx, -BIG, BIG)
+        rdy = jnp.clip(1.0 / dy, -BIG, BIG)
+        rdz = jnp.clip(1.0 / dz, -BIG, BIG)
+        dlx = jnp.minimum(jnp.abs(rdx), BIG)
+        dly = jnp.minimum(jnp.abs(rdy), BIG)
+        dlz = jnp.minimum(jnp.abs(rdz), BIG)
+        stpx = jnp.maximum(sgnx, 0).astype(jnp.float32)
+        stpy = jnp.maximum(sgny, 0).astype(jnp.float32)
+        stpz = jnp.maximum(sgnz, 0).astype(jnp.float32)
+
+        def slice_body(si, carry):
+            hit_t, hit_mat, hit_ax, steps, done_i, resolved_i = carry
+            done = done_i > 0
+            s = s_begin + si * ksign
+
+            k0 = s.astype(jnp.float32) * rbpu
+            k1 = (s + 1).astype(jnp.float32) * rbpu
+            ta = (k0 - ok_) * rdk
+            tb = (k1 - ok_) * rdk
+            t0 = jnp.maximum(jnp.minimum(ta, tb), tmin)
+            t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
+            in_slice = active0 & ~done & (t1 >= t0) & (t1 >= 0.0)
+
+            # scalar corner-ray footprint on the slice's two k-planes
+            u_lo = jnp.float32(1e9); u_hi = jnp.float32(-1e9)
+            v_lo = jnp.float32(1e9); v_hi = jnp.float32(-1e9)
+            for (cok, cou, cov, cdu, cdv, cinv) in corners:
+                for kk in (k0, k1):
+                    tt = (kk - cok) * cinv
+                    uu = (cou + cdu * tt) * bpu
+                    vv = (cov + cdv * tt) * bpu
+                    u_lo = jnp.minimum(u_lo, uu); u_hi = jnp.maximum(u_hi, uu)
+                    v_lo = jnp.minimum(v_lo, vv); v_hi = jnp.maximum(v_hi, vv)
+            any_in = jnp.any(in_slice)
+
+            iu0 = jnp.clip(jnp.floor(u_lo).astype(jnp.int32), 0, nu - 1)
+            iu1 = jnp.clip(jnp.floor(u_hi).astype(jnp.int32), 0, nu - 1)
+            iv0 = jnp.clip(jnp.floor(v_lo).astype(jnp.int32), 0, nv - 1)
+            iv1 = jnp.clip(jnp.floor(v_hi).astype(jnp.int32), 0, nv - 1)
+            n_u = jnp.where(any_in, iu1 - iu0 + 1, 0)
+            n_v = jnp.where(any_in, iv1 - iv0 + 1, 0)
+
+            def brick_body(bi, carry2):
+                hit_t, hit_mat, hit_ax, steps, done_i = carry2
+                done = done_i > 0
+                ui = bi % jnp.maximum(n_u, 1)
+                vi = bi // jnp.maximum(n_u, 1)
+                su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
+                sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
+
+                bxc = pick3(s, sv, su, k)
+                byc = pick3(su, s, sv, k)
+                bzc = pick3(sv, su, s, k)
+                bidx = (bzc * BY + byc) * BX + bxc
+                occ = occ_ref[0, bidx]
+
+                def occupied(carry3):
+                    hit_t, hit_mat, hit_ax, steps, done_i = carry3
+                    done = done_i > 0
+                    bx0 = bxc.astype(jnp.float32) * rbpu
+                    by0 = byc.astype(jnp.float32) * rbpu
+                    bz0 = bzc.astype(jnp.float32) * rbpu
+                    tn = jnp.zeros(shape, jnp.float32)
+                    tf = jnp.full(shape, BIG, jnp.float32)
+                    b_ax = jnp.zeros(shape, jnp.int32)
+                    for a, (oa, rd, b0) in enumerate(
+                            ((ox, rdx, bx0), (oy, rdy, by0), (oz, rdz, bz0))):
+                        t1_ = (b0 - oa) * rd
+                        t2_ = (b0 + rbpu - oa) * rd
+                        lo = jnp.minimum(t1_, t2_)
+                        hi = jnp.maximum(t1_, t2_)
+                        lo = jnp.where(jnp.isnan(lo), -BIG, lo)
+                        hi = jnp.where(jnp.isnan(hi), BIG, hi)
+                        upd = lo > tn
+                        b_ax = jnp.where(upd, a, b_ax)
+                        tn = jnp.maximum(tn, lo)
+                        tf = jnp.minimum(tf, hi)
+                    enter = jnp.maximum(tn, tmin)
+                    cross = (tf - 1e-5 >= enter) & in_slice & ~done \
+                        & (enter < hit_t)
+
+                    def fine(carry4):
+                        hit_t, hit_mat, hit_ax, steps = carry4
+                        if word_gather:
+                            # brick's 512 occupancy bits: ONE row load,
+                            # lane-gathered per step (8 bricks per row)
+                            occ_row = jnp.broadcast_to(
+                                occw_ref[bidx >> 3, :][None, :], shape)
+                            woff = (bidx & 7) * 16
+
+                            def read_word(bit):
+                                return jnp.take_along_axis(
+                                    occ_row, woff + (bit >> 5), axis=1)
+                        else:
+                            w16 = [wsm_ref[i, bidx] for i in range(16)]
+
+                            def read_word(bit):
+                                widx = bit >> 5
+                                lvl = [jnp.where((widx & 1) == 0, w16[i],
+                                                 w16[i + 1])
+                                       for i in range(0, 16, 2)]
+                                lvl = [jnp.where((widx & 2) == 0, lvl[i],
+                                                 lvl[i + 1])
+                                       for i in range(0, 8, 2)]
+                                lvl = [jnp.where((widx & 4) == 0, lvl[i],
+                                                 lvl[i + 1])
+                                       for i in range(0, 4, 2)]
+                                return jnp.where((widx & 8) == 0, lvl[0],
+                                                 lvl[1])
+
+                        fex = (ox + dx * enter - bx0) * vpu
+                        fey = (oy + dy * enter - by0) * vpu
+                        fez = (oz + dz * enter - bz0) * vpu
+                        cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0, 7)
+                        cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0, 7)
+                        cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0, 7)
+                        tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx
+                        tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy
+                        tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz
+                        tmx = jnp.minimum(jnp.where(jnp.isnan(tmx), BIG, tmx), BIG)
+                        tmy = jnp.minimum(jnp.where(jnp.isnan(tmy), BIG, tmy), BIG)
+                        tmz = jnp.minimum(jnp.where(jnp.isnan(tmz), BIG, tmz), BIG)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
+
+                        st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy,
+                                   tmz=tmz, ft=jnp.zeros(shape, jnp.float32),
+                                   ax=ax0, live=cross.astype(jnp.int32),
+                                   h_bit=jnp.full(shape, -1, jnp.int32),
+                                   h_ft=jnp.zeros(shape, jnp.float32),
+                                   h_ax=jnp.zeros(shape, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            # hit bookkeeping is deferred: a ray hits at most
+                            # once per brick (live dies at the hit), so only
+                            # (bit, ft, ax) are recorded in-loop; t/encoding/
+                            # nearest-compare happen once post-loop
+                            live_b = st["live"] > 0
+                            bit = st["cz"] * 64 + st["cy"] * 8 + st["cx"]
+                            word = read_word(bit)
+                            vbit = (word >> (bit & 31)) & 1
+                            is_hit = live_b & (vbit == 1)
+                            h_bit = jnp.where(is_hit, bit, st["h_bit"])
+                            h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
+                            h_ax = jnp.where(is_hit, st["ax"], st["h_ax"])
+                            live = live_b & ~is_hit
+
+                            use_x = (st["tmx"] < st["tmy"]) & (st["tmx"] < st["tmz"])
+                            use_y = ~(st["tmx"] < st["tmy"]) & (st["tmy"] < st["tmz"])
+                            ax = jnp.where(use_x, 0, jnp.where(use_y, 1, 2))
+                            cx2 = st["cx"] + jnp.where(use_x, sgnx, 0)
+                            cy2 = st["cy"] + jnp.where(use_y, sgny, 0)
+                            use_z = ~use_x & ~use_y
+                            cz2 = st["cz"] + jnp.where(use_z, sgnz, 0)
+                            ft2 = jnp.where(use_x, st["tmx"],
+                                            jnp.where(use_y, st["tmy"], st["tmz"]))
+                            tmx2 = st["tmx"] + jnp.where(use_x, dlx, 0.0)
+                            tmy2 = st["tmy"] + jnp.where(use_y, dly, 0.0)
+                            tmz2 = st["tmz"] + jnp.where(use_z, dlz, 0.0)
+                            # in-bounds iff no coord has bits outside 0..7
+                            oob = ((cx2 | cy2 | cz2) & ~7) != 0
+                            live = live & ~oob
+                            out = dict(cx=cx2, cy=cy2, cz=cz2, tmx=tmx2,
+                                       tmy=tmy2, tmz=tmz2, ft=ft2,
+                                       ax=ax.astype(jnp.int32),
+                                       live=live.astype(jnp.int32),
+                                       h_bit=h_bit, h_ft=h_ft, h_ax=h_ax,
+                                       stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] + jnp.where(live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) & (jnp.sum(st["live"]) > 0)
+
+                        def fine_body(c):
+                            # unrolled chunk: one cross-lane liveness vote
+                            # per `fine_unroll` DDA steps (dead lanes step
+                            # as masked no-ops)
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(0), st0))
+
+                        # post-loop: nearest-compare + axis/sign encoding
+                        t_new = enter + st["h_ft"] * (1.0 / vpu)
+                        better = (st["h_bit"] >= 0) & (t_new < hit_t)
+                        hit_t = jnp.where(better, t_new, hit_t)
+                        sgn_ax = pick3(sgnx, sgny, sgnz, st["h_ax"])
+                        hit_ax = jnp.where(
+                            better,
+                            st["h_ax"] * 2 + jnp.where(sgn_ax > 0, 1, 0),
+                            hit_ax)
+
+                        if fetch_mat:
+                            # material fetch: once per brick, lane gather of
+                            # the hit voxel's byte from the (NB, 128) table
+                            def with_mat(hm):
+                                row = jnp.broadcast_to(
+                                    matw_ref[bidx, :][None, :], shape)
+                                hb = jnp.maximum(st["h_bit"], 0)
+                                mword = jnp.take_along_axis(
+                                    row, hb >> 2, axis=1)
+                                mbyte = (mword >> ((hb & 3) * 8)) & 255
+                                return jnp.where(better, mbyte, hm)
+
+                            hit_mat = jax.lax.cond(
+                                jnp.any(better), with_mat,
+                                lambda hm: hm, hit_mat)
+                        return (hit_t, hit_mat, hit_ax, st["stp"])
+
+                    hit_t, hit_mat, hit_ax, steps = jax.lax.cond(
+                        jnp.any(cross), fine,
+                        lambda c: c, (hit_t, hit_mat, hit_ax, steps))
+                    return (hit_t, hit_mat, hit_ax, steps, done_i)
+
+                return jax.lax.cond(
+                    occ > 0, occupied, lambda c: c,
+                    (hit_t, hit_mat, hit_ax, steps, done_i))
+
+            total = n_u * n_v
+            overflow = total > max_bricks_per_tile
+            resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
+            n_bricks = jnp.minimum(total, max_bricks_per_tile)
+            carry2 = jax.lax.fori_loop(
+                0, n_bricks, brick_body,
+                (hit_t, hit_mat, hit_ax, steps, done_i))
+            hit_t, hit_mat, hit_ax, steps, done_i = carry2
+            fin = (hit_t < BIG) | (active0 & (t1 >= tmax - 1e-7))
+            done_i = jnp.where(fin, 1, done_i)
+            return (hit_t, hit_mat, hit_ax, steps, done_i, resolved_i)
+
+        init_done = (~active0).astype(jnp.int32)
+
+        def outer_cond(c):
+            si, carry = c
+            return (si < nk) & (jnp.sum(1 - carry[4]) > 0)
+
+        def outer_body(c):
+            si, carry = c
+            return (si + 1, slice_body(si, carry))
+
+        _, (hit_t, hit_mat, hit_ax, steps, done_i, resolved_i) = (
+            jax.lax.while_loop(
+                outer_cond, outer_body,
+                (jnp.int32(0),
+                 (hit_t, hit_mat, hit_ax, steps, init_done,
+                  resolved.astype(jnp.int32)))))
+
+        # ---- shade: palette albedo via lane gathers ------------------------
+        hit = (hit_t < BIG) & (resolved_i > 0)
+        pidx = hit_mat & 127
+        hi_half = hit_mat >= 128
+        alb = []
+        for c in range(3):
+            lo = jnp.take_along_axis(
+                jnp.broadcast_to(pal_ref[2 * c, :][None, :], shape), pidx,
+                axis=1)
+            hi = jnp.take_along_axis(
+                jnp.broadcast_to(pal_ref[2 * c + 1, :][None, :], shape), pidx,
+                axis=1)
+            alb.append(jnp.where(hi_half, hi, lo))
+
+        if shading == "lambert":
+            # world normal axis component vs sun — N = -step on hit axis
+            axis_k = hit_ax >> 1
+            sgn = jnp.where((hit_ax & 1) == 1, -1.0, 1.0)  # -step sign
+            # world rows of R for the hit axis (cam_ref[12:21] = rot)
+            nxw = pick3(cam_ref[12], cam_ref[13], cam_ref[14], axis_k)
+            nyw = pick3(cam_ref[15], cam_ref[16], cam_ref[17], axis_k)
+            nzw = pick3(cam_ref[18], cam_ref[19], cam_ref[20], axis_k)
+            ndl = (nxw * cam_ref[21] + nyw * cam_ref[22]
+                   + nzw * cam_ref[23]) * sgn
+            irr = jnp.maximum(ndl, 0.0) * cam_ref[25] + ambient
+            alb = [a * irr for a in alb]
+
+        # ---- sky for misses -------------------------------------------------
+        if sky_mode == "analytic":
+            # world-space dir: columns of R (cam_ref[12:21] row-major R)
+            dwx = cam_ref[12] * dx + cam_ref[13] * dy + cam_ref[14] * dz
+            dwy = cam_ref[15] * dx + cam_ref[16] * dy + cam_ref[17] * dz
+            dwz = cam_ref[18] * dx + cam_ref[19] * dy + cam_ref[20] * dz
+            sky = _analytic_sky((dwx, dwy, dwz),
+                                (cam_ref[21], cam_ref[22], cam_ref[23]))
+        elif sky_mode == "constant":
+            sky = [jnp.full(shape, 0.0, jnp.float32) + cam_ref[26 + c]
+                   for c in range(3)]
+        else:
+            sky = [jnp.zeros(shape, jnp.float32)] * 3
+
+        rgb = [jnp.where(hit, a, s) for a, s in zip(alb, sky)]
+        rgb8 = [jnp.clip(_aces(v) * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+                for v in rgb]
+        rgba = rgb8[0] | (rgb8[1] << 8) | (rgb8[2] << 16) | jnp.int32(-(1 << 24))
+
+        aux = (hit_mat | (hit_ax << AUX_AX_SHIFT)
+               | (resolved_i << AUX_RESOLVED_SHIFT)
+               | (jnp.minimum(steps, 0x7ffff) << AUX_STEPS_SHIFT))
+        rgba_ref[:] = rgba
+        t_ref[:] = jnp.where(hit, hit_t, BIG)
+        aux_ref[:] = aux
+
+    return kernel
+
+
+def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
+                  height):
+    """Pack camera + shading scalars for SMEM.
+
+    cam_local: (pos_l, tl_l, tr_l, bl_l) in volume-local space.
+    rot: (3,3) local->world. Layout: [0:3] pos, [3:6] tl, [6:9] ddx,
+    [9:12] ddy, [12:21] rot row-major, [21:24] sun dir, [24] unused,
+    [25] sun scale, [26:29] constant sky color.
+    """
+    pos_l, tl_l, tr_l, bl_l = cam_local
+    ddx = (tr_l - tl_l) / width
+    ddy = (bl_l - tl_l) / height
+    return jnp.concatenate([
+        pos_l, tl_l, ddx, ddy, jnp.reshape(rot, (9,)),
+        jnp.asarray(sun_dir, jnp.float32), jnp.zeros((1,), jnp.float32),
+        jnp.asarray([sun_scale], jnp.float32),
+        jnp.asarray(sky_const, jnp.float32).reshape(3),
+    ]).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsize", "vpu", "width", "height", "tile_rows",
+                     "tile_w", "max_bricks_per_tile", "fine_iters",
+                     "sky_mode", "shading", "ambient", "word_gather",
+                     "fetch_mat", "fine_unroll", "track_steps",
+                     "interpret"))
+def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
+                      height, tile_rows=8, tile_w=32,
+                      max_bricks_per_tile=64, fine_iters=24,
+                      sky_mode="analytic", shading="flat", ambient=0.2,
+                      word_gather=True, fetch_mat=True, fine_unroll=1,
+                      track_steps=True, interpret=False):
+    """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
+    each shaped (n_tiles*tile_rows, 128)."""
+    tile_h = tile_rows * LANES // tile_w
+    assert width % tile_w == 0 and height % tile_h == 0, \
+        f"{width}x{height} not divisible by {tile_w}x{tile_h} tiles"
+    nx, ny = width // tile_w, height // tile_h
+    n_tiles = nx * ny
+
+    kernel = _make_mega_kernel(
+        bsize, vpu, tile_rows=tile_rows, tile_w=tile_w, nx_tiles=nx,
+        max_bricks_per_tile=max_bricks_per_tile, fine_iters=fine_iters,
+        sky_mode=sky_mode, shading=shading, ambient=ambient,
+        word_gather=word_gather, fetch_mat=fetch_mat,
+        fine_unroll=fine_unroll, track_steps=track_steps)
+
+    nb = bsize[0] * bsize[1] * bsize[2]
+    nbr = occw.shape[0]
+    out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    fixed = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # cam
+            pl.BlockSpec((1, nb), fixed, memory_space=pltpu.SMEM),   # occ
+            pl.BlockSpec((nbr, 128), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, nb), fixed, memory_space=pltpu.SMEM),  # words
+            pl.BlockSpec((nb, 128), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
+        ],
+        out_specs=[out_block] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cam16, occ, occw, wsm, matw, pal)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper: whole-frame rendering on a single volume
+# ---------------------------------------------------------------------------
+
+def untile(x, height, width, tile_h, tile_w):
+    """Tile-major (H*W, ...) -> image row-major (H*W, ...)."""
+    rest = x.shape[1:]
+    x = x.reshape(height // tile_h, width // tile_w, tile_h, tile_w, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *rest)
+
+
+class MegaVolume:
+    """Host bundle for the megakernel: packed tables + transform + palette."""
+
+    def __init__(self, volume):
+        self.volume = volume
+        self.tables = pack_mega(volume.grid, volume.vpu)
+        self.pal = pack_palette(volume.palette)
+        self.rot = jnp.asarray(volume.rot, jnp.float32)
+        self.pos = jnp.asarray(volume.pos, jnp.float32)
+        self.pivot = jnp.asarray(volume.pivot, jnp.float32)
+
+    def refresh(self):
+        """Re-pack after dynamic edits (set_voxel analog, vv.cpp:377-432)."""
+        self.tables = pack_mega(self.volume.grid, self.volume.vpu)
+        self.pal = pack_palette(self.volume.palette)
+        self.pos = jnp.asarray(self.volume.pos, jnp.float32)
+        self.rot = jnp.asarray(self.volume.rot, jnp.float32)
+
+
+def mega_camera(mv: MegaVolume, camera, sun_dir, width, height,
+                sun_scale=1.0, sky_const=(0.0, 0.0, 0.0)):
+    """World camera -> packed SMEM params in the volume's local frame."""
+    from voxel_tracer_tpu.ops.composite import _mat3_t_apply
+
+    def to_local_pt(p):
+        return _mat3_t_apply(mv.rot, jnp.asarray(p, jnp.float32) - mv.pos) \
+            + mv.pivot
+
+    cam_local = (to_local_pt(camera.pos), to_local_pt(camera.tl),
+                 to_local_pt(camera.tr), to_local_pt(camera.bl))
+    return camera_params(cam_local, mv.rot, sun_dir, sun_scale, sky_const,
+                         width, height)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsize", "vpu", "width", "height", "tile_rows",
+                     "tile_w", "sky_mode", "shading", "ambient",
+                     "max_bricks_per_tile", "fine_iters", "word_gather",
+                     "fetch_mat", "fine_unroll", "track_steps", "interpret"))
+def _render_mega_frame(cam_p, occ, occw, wsm, matw, pal, *, bsize, vpu,
+                       width, height, tile_rows, tile_w, sky_mode, shading,
+                       ambient, max_bricks_per_tile, fine_iters,
+                       word_gather, fetch_mat, fine_unroll, track_steps,
+                       interpret):
+    rgba, t, aux = render_mega_tiles(
+        cam_p, occ, occw, wsm, matw, pal, bsize=bsize, vpu=vpu, width=width,
+        height=height, tile_rows=tile_rows, tile_w=tile_w,
+        sky_mode=sky_mode, shading=shading, ambient=ambient,
+        max_bricks_per_tile=max_bricks_per_tile, fine_iters=fine_iters,
+        word_gather=word_gather, fetch_mat=fetch_mat,
+        fine_unroll=fine_unroll, track_steps=track_steps,
+        interpret=interpret)
+    tile_h = tile_rows * LANES // tile_w
+    n = width * height
+    rgba = untile(rgba.reshape(n), height, width, tile_h, tile_w)
+    t = untile(t.reshape(n), height, width, tile_h, tile_w)
+    aux = untile(aux.reshape(n), height, width, tile_h, tile_w)
+    img = jnp.stack([(rgba >> s) & 255 for s in (0, 8, 16)],
+                    axis=-1).astype(jnp.uint8)
+    return dict(
+        image=img.reshape(height, width, 3),
+        depth=t.reshape(height, width),
+        mat=(aux & 255).reshape(height, width),
+        steps=((aux >> AUX_STEPS_SHIFT) & 0x7ffff).reshape(height, width),
+        resolved=((aux >> AUX_RESOLVED_SHIFT) & 1).reshape(height, width),
+    )
+
+
+def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
+                sun_scale=1.0, sky_mode="analytic", shading="flat",
+                ambient=0.2, tile_rows=8, tile_w=32,
+                max_bricks_per_tile=64, fine_iters=24,
+                sky_const=(0.0, 0.0, 0.0), word_gather=True,
+                fetch_mat=True, fine_unroll=1, track_steps=True,
+                interpret=False):
+    """Fully fused flat/lambert frame (RGBA8 image + depth/mat/steps AOVs)."""
+    from voxel_tracer_tpu.models.scene import SUN_DIR
+
+    sd = jnp.asarray(SUN_DIR if sun_dir is None else sun_dir, jnp.float32)
+    cam_p = mega_camera(mv, camera, sd, width, height, sun_scale, sky_const)
+    tb = mv.tables
+    return _render_mega_frame(
+        cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal, bsize=tb.bsize,
+        vpu=tb.vpu, width=width, height=height, tile_rows=tile_rows,
+        tile_w=tile_w, sky_mode=sky_mode, shading=shading, ambient=ambient,
+        max_bricks_per_tile=max_bricks_per_tile, fine_iters=fine_iters,
+        word_gather=word_gather, fetch_mat=fetch_mat,
+        fine_unroll=fine_unroll, track_steps=track_steps,
+        interpret=interpret)
