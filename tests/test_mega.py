@@ -115,3 +115,25 @@ def test_mega_tile_configs_agree(scene):
     np.testing.assert_allclose(a["depth"][hit], b["depth"][hit],
                                atol=2e-3, rtol=1e-4)
     assert (a["mat"][hit] == b["mat"][hit]).mean() > 0.995
+
+
+def test_mega_run_traversal_agrees(scene):
+    """Run traversal (8-brick fine DDA + material vote loop) == brick."""
+    _, a = _render(scene, w=64, h=32)
+    mv = mega.MegaVolume(scene)
+    tb = mv.tables
+    cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 64 / 32)
+    cam_p = mega.mega_camera(mv, cam, jnp.asarray([-0.62, 0.47, -0.63]),
+                             64, 32)
+    rgba, t, aux = mega.render_mega_tiles(
+        cam_p, tb.occr, tb.runw, jnp.zeros((1, 1), jnp.int32), tb.matw,
+        mv.pal, bsize=tb.bsize, vpu=tb.vpu, width=64, height=32,
+        traversal="run", fine_iters=96, interpret=True)
+    n = 64 * 32
+    t_r = np.asarray(mega.untile(t.reshape(n), 32, 64, 32, 32)).reshape(32, 64)
+    aux_r = np.asarray(mega.untile(aux.reshape(n), 32, 64, 32, 32)).reshape(32, 64)
+    hit_a = a["depth"] < 1e30
+    hit_r = t_r < 1e30
+    np.testing.assert_array_equal(hit_a, hit_r)
+    np.testing.assert_allclose(a["depth"][hit_a], t_r[hit_r], atol=1e-5)
+    np.testing.assert_array_equal(a["mat"][hit_a], (aux_r & 255)[hit_r])

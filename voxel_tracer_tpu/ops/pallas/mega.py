@@ -57,8 +57,52 @@ class MegaTables(NamedTuple):
     occw: jnp.ndarray      # (ceil(NB/8), 128) i32: 8 bricks/row x 16 words
     wsm: jnp.ndarray       # (16, NB) i32: same words, SMEM word-major layout
     matw: jnp.ndarray      # (NB, 128) i32: 512 material bytes per brick
+    occr: jnp.ndarray      # (1, NRT) i32 SMEM per-run occupancy (3 axes)
+    runw: jnp.ndarray      # (NRT, 128) i32 run rows: 8 u-contiguous bricks
     bsize: tuple           # (BX, BY, BZ) python ints
     vpu: float
+
+
+def _run_axes(bsize):
+    """(s, u, v) global-axis dims per major axis k (u is the run axis)."""
+    BX, BY, BZ = bsize
+    return (
+        (BX, BY, BZ),   # k=0 (x): u=y, v=z
+        (BY, BZ, BX),   # k=1 (y): u=z, v=x
+        (BZ, BX, BY),   # k=2 (z): u=x, v=y
+    )
+
+
+def pack_runs(occw16: np.ndarray, bsize) -> tuple:
+    """Per-axis run tables: row = 8 u-contiguous bricks at fixed (s, v).
+
+    Row index for axis k: base_k + (s*NV + v)*NRU + ru, lane =
+    (u&7)*16 + word.  Lets the run-mode fine DDA march across 8 bricks
+    with one lane gather per step instead of 8 serial per-brick passes.
+    """
+    BX, BY, BZ = bsize
+    nb = BX * BY * BZ
+    # occw16 is (NB, 16) with bidx = (bz*BY + by)*BX + bx
+    grid16 = occw16.reshape(BZ, BY, BX, 16)
+    blocks = []
+    occs = []
+    for kk, (ns, nu, nv) in enumerate(_run_axes((BX, BY, BZ))):
+        nru = (nu + 7) // 8
+        # arrange as (s, v, u, 16)
+        if kk == 0:
+            arr = grid16.transpose(2, 0, 1, 3)      # (x, z, y, 16)
+        elif kk == 1:
+            arr = grid16.transpose(1, 2, 0, 3)      # (y, x, z, 16)
+        else:
+            arr = grid16                             # (z, y, x, 16)
+        pad = np.zeros((ns, nv, nru * 8, 16), np.int32)
+        pad[:, :, :nu, :] = arr.astype(np.uint32).view(np.int32)
+        rows = pad.reshape(ns * nv * nru, 128)
+        blocks.append(rows)
+        occs.append((rows != 0).any(axis=1).astype(np.int32))
+    runw = np.concatenate(blocks, axis=0)
+    occr = np.concatenate(occs)[None, :]
+    return jnp.asarray(occr), jnp.asarray(runw)
 
 
 def pack_mega(grid: np.ndarray, vpu: float) -> MegaTables:
@@ -89,11 +133,14 @@ def pack_mega(grid: np.ndarray, vpu: float) -> MegaTables:
             | (mw[:, :, 3] << 24)).view(np.int32)          # (NB, 128)
 
     occ = bits.any(axis=1).astype(np.int32).reshape(1, nb)
+    occr, runw = pack_runs(occw16, (bx, by, bz))
     return MegaTables(
         occ=jnp.asarray(occ),
         occw=jnp.asarray(occw_rows),
         wsm=jnp.asarray(occw16.view(np.int32).T.copy()),
         matw=jnp.asarray(matw),
+        occr=occr,
+        runw=runw,
         bsize=(bx, by, bz),
         vpu=float(vpu),
     )
@@ -151,7 +198,8 @@ def _aces(v):
 def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       max_bricks_per_tile, fine_iters, sky_mode,
                       shading, ambient, word_gather=True, fetch_mat=True,
-                      fine_unroll=1, track_steps=True):
+                      fine_unroll=1, track_steps=True, slice_depth=1,
+                      traversal="brick", mat_rounds=128):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     shading: 'flat' (albedo) or 'lambert' (N.L sun + ambient, no shadows —
@@ -262,7 +310,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
 
         hit_t = jnp.full(shape, BIG, jnp.float32)
-        hit_mat = jnp.zeros(shape, jnp.int32)
+        # run mode: the `hit_mat` slot carries packed (bidx<<9 | bit)
+        # hit info (-1 = none) until the tile-end material vote loop
+        hit_mat = (jnp.full(shape, -1, jnp.int32) if traversal == "run"
+                   else jnp.zeros(shape, jnp.int32))
         hit_ax = entry_axis * 2
         steps = jnp.zeros(shape, jnp.int32)
 
@@ -284,20 +335,47 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         stpy = jnp.maximum(sgny, 0).astype(jnp.float32)
         stpz = jnp.maximum(sgnz, 0).astype(jnp.float32)
 
+        if traversal == "run":
+            # per-ray components along (k, u, v) for the run-box DDA
+            rdu = jnp.clip(1.0 / du_, -BIG, BIG)
+            rdv = jnp.clip(1.0 / dv_, -BIG, BIG)
+            dlk = jnp.minimum(jnp.abs(rdk), BIG)
+            dlu = jnp.minimum(jnp.abs(rdu), BIG)
+            dlv = jnp.minimum(jnp.abs(rdv), BIG)
+            sgnu = jnp.where(jnp.signbit(du_), -1, 1).astype(jnp.int32)
+            sgnv = jnp.where(jnp.signbit(dv_), -1, 1).astype(jnp.int32)
+            stpk = jnp.where(ksign > 0, 1.0, 0.0)        # scalar
+            stpu = jnp.maximum(sgnu, 0).astype(jnp.float32)
+            stpv = jnp.maximum(sgnv, 0).astype(jnp.float32)
+            # static run-table geometry (see pack_runs): per-axis sizes
+            axes_dims = _run_axes(bsize)
+            nru_list = [(u + 7) // 8 for (_, u, _v) in axes_dims]
+            size_list = [s * v * r for (s, _u, v), r in zip(axes_dims,
+                                                            nru_list)]
+            NVk = pick3(axes_dims[0][2], axes_dims[1][2], axes_dims[2][2], k)
+            NRUk = pick3(*nru_list, k)
+            basek = pick3(0, size_list[0], size_list[0] + size_list[1], k)
+
         def slice_body(si, carry):
+            # one iteration marches a WINDOW of `slice_depth` brick slices:
+            # the loop skeleton (footprint, in-window mask, done-vote)
+            # amortizes over depth; bricks still process near-to-far
             hit_t, hit_mat, hit_ax, steps, done_i, resolved_i = carry
             done = done_i > 0
-            s = s_begin + si * ksign
+            s_first = s_begin + si * (slice_depth * ksign)
+            s_last = s_first + (slice_depth - 1) * ksign
+            kw0 = jnp.minimum(s_first, s_last)
+            kw1 = jnp.maximum(s_first, s_last) + 1
 
-            k0 = s.astype(jnp.float32) * rbpu
-            k1 = (s + 1).astype(jnp.float32) * rbpu
+            k0 = kw0.astype(jnp.float32) * rbpu
+            k1 = kw1.astype(jnp.float32) * rbpu
             ta = (k0 - ok_) * rdk
             tb = (k1 - ok_) * rdk
             t0 = jnp.maximum(jnp.minimum(ta, tb), tmin)
             t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
             in_slice = active0 & ~done & (t1 >= t0) & (t1 >= 0.0)
 
-            # scalar corner-ray footprint on the slice's two k-planes
+            # scalar corner-ray footprint on the window's two k-planes
             u_lo = jnp.float32(1e9); u_hi = jnp.float32(-1e9)
             v_lo = jnp.float32(1e9); v_hi = jnp.float32(-1e9)
             for (cok, cou, cov, cdu, cdv, cinv) in corners:
@@ -319,8 +397,13 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             def brick_body(bi, carry2):
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
                 done = done_i > 0
-                ui = bi % jnp.maximum(n_u, 1)
-                vi = bi // jnp.maximum(n_u, 1)
+                n_rect = jnp.maximum(n_u * n_v, 1)
+                sub = bi // n_rect              # sub-slice: near to far
+                rb = bi - sub * n_rect
+                s = s_first + sub * ksign
+                s_ok = (s >= 0) & (s < nk)
+                ui = rb % jnp.maximum(n_u, 1)
+                vi = rb // jnp.maximum(n_u, 1)
                 su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
                 sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
 
@@ -328,7 +411,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 byc = pick3(su, s, sv, k)
                 bzc = pick3(sv, su, s, k)
                 bidx = (bzc * BY + byc) * BX + bxc
-                occ = occ_ref[0, bidx]
+                occ = jnp.where(s_ok, occ_ref[0, jnp.clip(bidx, 0, NB - 1)],
+                                0)
 
                 def occupied(carry3):
                     hit_t, hit_mat, hit_ax, steps, done_i = carry3
@@ -500,23 +584,197 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     occ > 0, occupied, lambda c: c,
                     (hit_t, hit_mat, hit_ax, steps, done_i))
 
-            total = n_u * n_v
-            overflow = total > max_bricks_per_tile
-            resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
-            n_bricks = jnp.minimum(total, max_bricks_per_tile)
-            carry2 = jax.lax.fori_loop(
-                0, n_bricks, brick_body,
-                (hit_t, hit_mat, hit_ax, steps, done_i))
-            hit_t, hit_mat, hit_ax, steps, done_i = carry2
+            def run_body(bi, carry2):
+                # RUN traversal: one iteration handles 8 u-contiguous
+                # bricks at fixed (s, v) — one slab, one fine DDA marching
+                # across brick boundaries, one lane gather per step.
+                # `hit_mat` carries packed hit info (bidx<<9 | bit, -1 =
+                # none); materials resolve in a tile-end vote loop.
+                hit_t, h_info, hit_ax, steps, done_i, resolved_i = carry2
+                done = done_i > 0
+                nru_rect = jnp.maximum((iu1 >> 3) - (iu0 >> 3) + 1, 1)
+                vi = bi // nru_rect
+                rui = bi - vi * nru_rect
+                sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
+                ru = jnp.where(u_fwd, (iu0 >> 3) + rui, (iu1 >> 3) - rui)
+                s = s_first
+                row = basek + (s * NVk + sv) * NRUk + ru
+                occ_run = occ_ref[0, row]
+
+                def occupied(carry3):
+                    hit_t, h_info, hit_ax, steps, done_i, resolved_i = carry3
+                    done = done_i > 0
+                    bk0 = s.astype(jnp.float32) * rbpu
+                    bu0 = (ru * 8).astype(jnp.float32) * rbpu
+                    bv0 = sv.astype(jnp.float32) * rbpu
+                    tn = jnp.zeros(shape, jnp.float32)
+                    tf = jnp.full(shape, BIG, jnp.float32)
+                    b_axk = jnp.zeros(shape, jnp.int32)
+                    for a, (oa, rd, b0, ext) in enumerate(
+                            ((ok_, rdk, bk0, rbpu),
+                             (ou_, rdu, bu0, 8 * rbpu),
+                             (ov_, rdv, bv0, rbpu))):
+                        t1_ = (b0 - oa) * rd
+                        t2_ = (b0 + ext - oa) * rd
+                        lo = jnp.minimum(t1_, t2_)
+                        hi = jnp.maximum(t1_, t2_)
+                        lo = jnp.where(jnp.isnan(lo), -BIG, lo)
+                        hi = jnp.where(jnp.isnan(hi), BIG, hi)
+                        upd = lo > tn
+                        b_axk = jnp.where(upd, a, b_axk)
+                        tn = jnp.maximum(tn, lo)
+                        tf = jnp.minimum(tf, hi)
+                    enter = jnp.maximum(tn, tmin)
+                    cross = (tf - 1e-5 >= enter) & in_slice & ~done \
+                        & (enter < hit_t)
+
+                    def fine(carry4):
+                        hit_t, h_info, hit_ax, steps, resolved_i = carry4
+                        run_row = jnp.broadcast_to(
+                            occw_ref[row, :][None, :], shape)
+                        fek = (ok_ + dk_ * enter - bk0) * vpu
+                        feu = (ou_ + du_ * enter - bu0) * vpu
+                        fev = (ov_ + dv_ * enter - bv0) * vpu
+                        ck = jnp.clip(jnp.floor(fek).astype(jnp.int32), 0, 7)
+                        cu = jnp.clip(jnp.floor(feu).astype(jnp.int32), 0, 63)
+                        cv = jnp.clip(jnp.floor(fev).astype(jnp.int32), 0, 7)
+                        tmk = (ck.astype(jnp.float32) - fek + stpk) * rdk
+                        tmu = (cu.astype(jnp.float32) - feu + stpu) * rdu
+                        tmv = (cv.astype(jnp.float32) - fev + stpv) * rdv
+                        tmk = jnp.minimum(jnp.where(jnp.isnan(tmk), BIG, tmk), BIG)
+                        tmu = jnp.minimum(jnp.where(jnp.isnan(tmu), BIG, tmu), BIG)
+                        tmv = jnp.minimum(jnp.where(jnp.isnan(tmv), BIG, tmv), BIG)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        eak = jnp.where(entry_axis == k, 0,
+                                        jnp.where(entry_axis == ku, 1, 2))
+                        ax0 = jnp.where(at_vol_entry, eak, b_axk)
+
+                        st0 = dict(ck=ck, cu=cu, cv=cv, tmk=tmk, tmu=tmu,
+                                   tmv=tmv, ft=jnp.zeros(shape, jnp.float32),
+                                   ax=ax0, live=cross.astype(jnp.int32),
+                                   h_pb=jnp.full(shape, -1, jnp.int32),
+                                   h_ft=jnp.zeros(shape, jnp.float32),
+                                   h_ax=jnp.zeros(shape, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            live_b = st["live"] > 0
+                            cu7 = st["cu"] & 7
+                            xl = pick3(st["ck"], st["cv"], cu7, k)
+                            yl = pick3(cu7, st["ck"], st["cv"], k)
+                            zl = pick3(st["cv"], cu7, st["ck"], k)
+                            bit = zl * 64 + yl * 8 + xl
+                            lane = ((st["cu"] >> 3) << 4) + (bit >> 5)
+                            word = jnp.take_along_axis(run_row, lane, axis=1)
+                            vbit = (word >> (bit & 31)) & 1
+                            is_hit = live_b & (vbit == 1)
+                            h_pb = jnp.where(
+                                is_hit, ((st["cu"] >> 3) << 9) | bit,
+                                st["h_pb"])
+                            h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
+                            h_ax = jnp.where(is_hit, st["ax"], st["h_ax"])
+                            live = live_b & ~is_hit
+
+                            use_k = (st["tmk"] < st["tmu"]) & (st["tmk"] < st["tmv"])
+                            use_u = ~(st["tmk"] < st["tmu"]) & (st["tmu"] < st["tmv"])
+                            ax = jnp.where(use_k, 0, jnp.where(use_u, 1, 2))
+                            ck2 = st["ck"] + jnp.where(use_k, ksign, 0)
+                            cu2 = st["cu"] + jnp.where(use_u, sgnu, 0)
+                            use_v = ~use_k & ~use_u
+                            cv2 = st["cv"] + jnp.where(use_v, sgnv, 0)
+                            ft2 = jnp.where(use_k, st["tmk"],
+                                            jnp.where(use_u, st["tmu"],
+                                                      st["tmv"]))
+                            tmk2 = st["tmk"] + jnp.where(use_k, dlk, 0.0)
+                            tmu2 = st["tmu"] + jnp.where(use_u, dlu, 0.0)
+                            tmv2 = st["tmv"] + jnp.where(use_v, dlv, 0.0)
+                            oob = ((((ck2 | cv2) & ~7) | (cu2 & ~63)) != 0)
+                            live = live & ~oob
+                            out = dict(ck=ck2, cu=cu2, cv=cv2, tmk=tmk2,
+                                       tmu=tmu2, tmv=tmv2, ft=ft2,
+                                       ax=ax.astype(jnp.int32),
+                                       live=live.astype(jnp.int32),
+                                       h_pb=h_pb, h_ft=h_ft, h_ax=h_ax,
+                                       stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] + jnp.where(live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) & (jnp.sum(st["live"]) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(0), st0))
+
+                        # rays still live at the cap may have an unseen hit
+                        # in this run: hand them to the fallback tracer
+                        resolved_i = jnp.where(st["live"] > 0, 0, resolved_i)
+
+                        t_new = enter + st["h_ft"] * (1.0 / vpu)
+                        better = (st["h_pb"] >= 0) & (t_new < hit_t)
+                        hit_t = jnp.where(better, t_new, hit_t)
+                        gax = pick3(k, ku, kv, st["h_ax"])
+                        sgn_ax = pick3(sgnx, sgny, sgnz, gax)
+                        hit_ax = jnp.where(
+                            better, gax * 2 + jnp.where(sgn_ax > 0, 1, 0),
+                            hit_ax)
+                        su_g = ru * 8 + (jnp.maximum(st["h_pb"], 0) >> 9)
+                        bxc = pick3(s, sv, su_g, k)
+                        byc = pick3(su_g, s, sv, k)
+                        bzc = pick3(sv, su_g, s, k)
+                        bidx_v = (bzc * BY + byc) * BX + bxc
+                        h_info = jnp.where(
+                            better, (bidx_v << 9) | (st["h_pb"] & 511),
+                            h_info)
+                        return (hit_t, h_info, hit_ax, st["stp"], resolved_i)
+
+                    hit_t, h_info, hit_ax, steps, resolved_i = jax.lax.cond(
+                        jnp.any(cross), fine, lambda c: c,
+                        (hit_t, h_info, hit_ax, steps, resolved_i))
+                    return (hit_t, h_info, hit_ax, steps, done_i, resolved_i)
+
+                return jax.lax.cond(
+                    occ_run > 0, occupied, lambda c: c,
+                    (hit_t, h_info, hit_ax, steps, done_i, resolved_i))
+
+            if traversal == "run":
+                n_ru = jnp.where(any_in, (iu1 >> 3) - (iu0 >> 3) + 1, 0)
+                total = n_v * n_ru
+                overflow = total > max_bricks_per_tile
+                resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
+                n_runs = jnp.minimum(total, max_bricks_per_tile)
+                carry2 = jax.lax.fori_loop(
+                    0, n_runs, run_body,
+                    (hit_t, hit_mat, hit_ax, steps, done_i, resolved_i))
+                hit_t, hit_mat, hit_ax, steps, done_i, resolved_i = carry2
+            else:
+                total = n_u * n_v
+                overflow = total > max_bricks_per_tile
+                resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
+                n_bricks = jnp.minimum(total, max_bricks_per_tile)
+                carry2 = jax.lax.fori_loop(
+                    0, n_bricks * slice_depth, brick_body,
+                    (hit_t, hit_mat, hit_ax, steps, done_i))
+                hit_t, hit_mat, hit_ax, steps, done_i = carry2
             fin = (hit_t < BIG) | (active0 & (t1 >= tmax - 1e-7))
             done_i = jnp.where(fin, 1, done_i)
             return (hit_t, hit_mat, hit_ax, steps, done_i, resolved_i)
 
         init_done = (~active0).astype(jnp.int32)
 
+        n_windows = (nk + slice_depth - 1) // slice_depth
+
         def outer_cond(c):
             si, carry = c
-            return (si < nk) & (jnp.sum(1 - carry[4]) > 0)
+            return (si < n_windows) & (jnp.sum(1 - carry[4]) > 0)
 
         def outer_body(c):
             si, carry = c
@@ -528,6 +786,32 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 (jnp.int32(0),
                  (hit_t, hit_mat, hit_ax, steps, init_done,
                   resolved.astype(jnp.int32)))))
+
+        if traversal == "run":
+            # tile-end material vote loop: coherent tiles hit only a few
+            # distinct bricks; fetch each once (row load + lane gather)
+            h_info = hit_mat
+            pending0 = ((hit_t < BIG) & (h_info >= 0)).astype(jnp.int32)
+
+            def mat_cond(c):
+                it, pending_i, hm = c
+                return (it < mat_rounds) & (jnp.sum(pending_i) > 0)
+
+            def mat_body(c):
+                it, pending_i, hm = c
+                p = pending_i > 0
+                bsel = jnp.min(jnp.where(p, h_info >> 9, jnp.int32(1 << 30)))
+                sel = p & ((h_info >> 9) == bsel)
+                mrow = jnp.broadcast_to(matw_ref[bsel, :][None, :], shape)
+                hb = h_info & 511
+                mword = jnp.take_along_axis(mrow, hb >> 2, axis=1)
+                mbyte = (mword >> ((hb & 3) * 8)) & 255
+                hm = jnp.where(sel, mbyte, hm)
+                return (it + 1, (p & ~sel).astype(jnp.int32), hm)
+
+            _, _, hit_mat = jax.lax.while_loop(
+                mat_cond, mat_body,
+                (jnp.int32(0), pending0, jnp.zeros(shape, jnp.int32)))
 
         # ---- shade: palette albedo via lane gathers ------------------------
         hit = (hit_t < BIG) & (resolved_i > 0)
@@ -611,13 +895,14 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "tile_w", "max_bricks_per_tile", "fine_iters",
                      "sky_mode", "shading", "ambient", "word_gather",
                      "fetch_mat", "fine_unroll", "track_steps",
-                     "interpret"))
+                     "interpret", "slice_depth", "traversal", "mat_rounds"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
                       sky_mode="analytic", shading="flat", ambient=0.2,
                       word_gather=True, fetch_mat=True, fine_unroll=1,
-                      track_steps=True, interpret=False):
+                      track_steps=True, interpret=False, slice_depth=1,
+                      traversal="brick", mat_rounds=128):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128)."""
     tile_h = tile_rows * LANES // tile_w
@@ -631,10 +916,10 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         max_bricks_per_tile=max_bricks_per_tile, fine_iters=fine_iters,
         sky_mode=sky_mode, shading=shading, ambient=ambient,
         word_gather=word_gather, fetch_mat=fetch_mat,
-        fine_unroll=fine_unroll, track_steps=track_steps)
+        fine_unroll=fine_unroll, track_steps=track_steps,
+        slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds)
 
     nb = bsize[0] * bsize[1] * bsize[2]
-    nbr = occw.shape[0]
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     fixed = lambda i: (0, 0)
@@ -643,9 +928,9 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # cam
-            pl.BlockSpec((1, nb), fixed, memory_space=pltpu.SMEM),   # occ
-            pl.BlockSpec((nbr, 128), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, nb), fixed, memory_space=pltpu.SMEM),  # words
+            pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
+            pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec((nb, 128), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
         ],
