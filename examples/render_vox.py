@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--aov", default="final")
     ap.add_argument("--cam", default="1.2,1.0,-1.6", help="camera position")
     ap.add_argument("--target", default="0,0,0")
+    ap.add_argument("--fast", action="store_true",
+                    help="fused Pallas megakernel path (flat/lambert; "
+                         "analytic sky instead of the texture sample)")
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.size.split("x"))
@@ -44,7 +47,23 @@ def main():
     camera = renderer.camera(cam_pos, target)
 
     t0 = time.perf_counter()
-    aovs = renderer.render(sdata, camera)
+    if args.fast and args.mode in ("flat", "lambert"):
+        from voxel_tracer_tpu.ops.pallas import mega
+        mv = mega.MegaVolume(vol)
+        if args.mode == "flat":
+            out = mega.render_mega(mv, camera, w, h)
+            aovs = dict(image=np.asarray(out["image"], np.float32) / 255.0,
+                        depth=out["depth"], steps=out["steps"],
+                        material=out["mat"])
+        else:
+            out = mega.render_lambert_mega(mv, camera, w, h,
+                                           shadow_tile_rows=32)
+            aovs = dict(image=np.asarray(out["image"], np.float32) / 255.0,
+                        depth=out["depth"], steps=out["steps"],
+                        material=out["material"], normal=out["normal"],
+                        albedo=out["albedo"], irradiance=out["irradiance"])
+    else:
+        aovs = renderer.render(sdata, camera)
     img = np.asarray(aovs["image"])
     t1 = time.perf_counter()
 

@@ -199,11 +199,18 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       max_bricks_per_tile, fine_iters, sky_mode,
                       shading, ambient, word_gather=True, fetch_mat=True,
                       fine_unroll=1, track_steps=True, slice_depth=1,
-                      traversal="brick", mat_rounds=128):
+                      traversal="brick", mat_rounds=128,
+                      ray_source="camera"):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
-    shading: 'flat' (albedo) or 'lambert' (N.L sun + ambient, no shadows —
-    shadowed lambert needs a second ray pass, see renderer_fast).
+    shading: 'flat' (albedo), 'lambert' (N.L sun + ambient, no shadows),
+    'raw' (albedo8, no tonemap — for multi-pass pipelines), or 'trace'
+    (no shade stage: rgba output is zero, consumers read t + aux).
+
+    ray_source: 'camera' (in-kernel raygen, scalar corner footprints) or
+    'refs' (six (R,128) VMEM blocks of local-space o/d — arbitrary ray
+    lists, e.g. shadow/bounce wavefronts; footprints via per-slice
+    cross-lane reductions since there is no shared pinhole).
     """
     BX, BY, BZ = bsize
     NB = BX * BY * BZ
@@ -213,28 +220,38 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     log_tw = int(np.log2(tile_w))
     assert 1 << log_tw == tile_w
 
-    def kernel(cam_ref, occ_ref, occw_ref, wsm_ref, matw_ref, pal_ref,
-               rgba_ref, t_ref, aux_ref):
+    def kernel(*refs):
+        if ray_source == "camera":
+            (cam_ref, occ_ref, occw_ref, wsm_ref, matw_ref, pal_ref,
+             rgba_ref, t_ref, aux_ref) = refs
+        else:
+            (cam_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+             occ_ref, occw_ref, wsm_ref, matw_ref, pal_ref,
+             rgba_ref, t_ref, aux_ref) = refs
         ti = pl.program_id(0)
         ty = ti // nx_tiles
         tx = ti - ty * nx_tiles
 
-        # ---- in-kernel raygen (camera.h:32-37, local space) ---------------
-        fl = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-        px = (tx * tile_w + (fl & (tile_w - 1))).astype(jnp.float32)
-        py = (ty * (tile_rows * LANES // tile_w)
-              + (fl >> log_tw)).astype(jnp.float32)
-        o3 = tuple(cam_ref[i] for i in range(3))          # scalar origin
-        ex = cam_ref[3] + px * cam_ref[6] + py * cam_ref[9] - o3[0]
-        ey = cam_ref[4] + px * cam_ref[7] + py * cam_ref[10] - o3[1]
-        ez = cam_ref[5] + px * cam_ref[8] + py * cam_ref[11] - o3[2]
-        rn = jax.lax.rsqrt(ex * ex + ey * ey + ez * ez)
-        dx, dy, dz = ex * rn, ey * rn, ez * rn
+        if ray_source == "camera":
+            # ---- in-kernel raygen (camera.h:32-37, local space) -----------
+            fl = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            px = (tx * tile_w + (fl & (tile_w - 1))).astype(jnp.float32)
+            py = (ty * (tile_rows * LANES // tile_w)
+                  + (fl >> log_tw)).astype(jnp.float32)
+            o3 = tuple(cam_ref[i] for i in range(3))      # scalar origin
+            ex = cam_ref[3] + px * cam_ref[6] + py * cam_ref[9] - o3[0]
+            ey = cam_ref[4] + px * cam_ref[7] + py * cam_ref[10] - o3[1]
+            ez = cam_ref[5] + px * cam_ref[8] + py * cam_ref[11] - o3[2]
+            rn = jax.lax.rsqrt(ex * ex + ey * ey + ez * ez)
+            dx, dy, dz = ex * rn, ey * rn, ez * rn
+            ox = jnp.full(shape, o3[0], jnp.float32)
+            oy = jnp.full(shape, o3[1], jnp.float32)
+            oz = jnp.full(shape, o3[2], jnp.float32)
+        else:
+            ox, oy, oz = oxr[:], oyr[:], ozr[:]
+            dx, dy, dz = dxr[:], dyr[:], dzr[:]
         d3 = (dx, dy, dz)
-        ox = jnp.full(shape, o3[0], jnp.float32)
-        oy = jnp.full(shape, o3[1], jnp.float32)
-        oz = jnp.full(shape, o3[2], jnp.float32)
         o3v = (ox, oy, oz)
 
         size = (BX * BRICK / vpu, BY * BRICK / vpu, BZ * BRICK / vpu)
@@ -257,13 +274,20 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             tmax = jnp.minimum(tmax, tf)
         valid = (tmax - 1e-4) >= tmin
 
-        # ---- tile major axis from the center ray (all scalar ops) ---------
+        def pick3(a, b, c, axis):
+            return jnp.where(axis == 0, a, jnp.where(axis == 1, b, c))
+
         tile_h = tile_rows * LANES // tile_w
-        cxp = tx * tile_w + tile_w * 0.5
-        cyp = ty * tile_h + tile_h * 0.5
-        mdx = cam_ref[3] + cxp * cam_ref[6] + cyp * cam_ref[9] - o3[0]
-        mdy = cam_ref[4] + cxp * cam_ref[7] + cyp * cam_ref[10] - o3[1]
-        mdz = cam_ref[5] + cxp * cam_ref[8] + cyp * cam_ref[11] - o3[2]
+        if ray_source == "camera":
+            # ---- tile major axis from the center ray (all scalar ops) -----
+            cxp = tx * tile_w + tile_w * 0.5
+            cyp = ty * tile_h + tile_h * 0.5
+            mdx = cam_ref[3] + cxp * cam_ref[6] + cyp * cam_ref[9] - o3[0]
+            mdy = cam_ref[4] + cxp * cam_ref[7] + cyp * cam_ref[10] - o3[1]
+            mdz = cam_ref[5] + cxp * cam_ref[8] + cyp * cam_ref[11] - o3[2]
+        else:
+            # mean direction over the tile's rays
+            mdx = jnp.sum(dx); mdy = jnp.sum(dy); mdz = jnp.sum(dz)
         amx, amy, amz = jnp.abs(mdx), jnp.abs(mdy), jnp.abs(mdz)
         k = jnp.where((amx >= amy) & (amx >= amz), 0,
                       jnp.where(amy >= amz, 1, 2)).astype(jnp.int32)
@@ -271,29 +295,27 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             jnp.where(k == 0, mdx, jnp.where(k == 1, mdy, mdz)) >= 0.0,
             1, -1).astype(jnp.int32)
 
-        def pick3(a, b, c, axis):
-            return jnp.where(axis == 0, a, jnp.where(axis == 1, b, c))
-
-        # ---- tile corner rays (scalars): bound slice footprints -----------
-        # The tile frustum's section on a k-plane is the hull of the 4
-        # corner-ray intersections — scalar math replaces 4 cross-lane
-        # min/max reductions per slice (vv.cpp:461-535's incremental rect).
         corners = []
-        for pxc, pyc in ((tx * tile_w - 0.5, ty * tile_h - 0.5),
-                         (tx * tile_w + tile_w, ty * tile_h - 0.5),
-                         (tx * tile_w - 0.5, ty * tile_h + tile_h),
-                         (tx * tile_w + tile_w, ty * tile_h + tile_h)):
-            cex = cam_ref[3] + pxc * cam_ref[6] + pyc * cam_ref[9] - o3[0]
-            cey = cam_ref[4] + pxc * cam_ref[7] + pyc * cam_ref[10] - o3[1]
-            cez = cam_ref[5] + pxc * cam_ref[8] + pyc * cam_ref[11] - o3[2]
-            cok = pick3(o3[0], o3[1], o3[2], k)
-            cou = pick3(o3[0], o3[1], o3[2], (k + 1) % 3)
-            cov = pick3(o3[0], o3[1], o3[2], (k + 2) % 3)
-            cdk = pick3(cex, cey, cez, k)
-            cdu = pick3(cex, cey, cez, (k + 1) % 3)
-            cdv = pick3(cex, cey, cez, (k + 2) % 3)
-            cinv = jnp.clip(1.0 / cdk, -BIG, BIG)
-            corners.append((cok, cou, cov, cdu, cdv, cinv))
+        if ray_source == "camera":
+            # ---- tile corner rays (scalars): bound slice footprints -------
+            # The tile frustum's section on a k-plane is the hull of the 4
+            # corner-ray intersections — scalar math replaces 4 cross-lane
+            # min/max reductions per slice (vv.cpp:461-535's rect).
+            for pxc, pyc in ((tx * tile_w - 0.5, ty * tile_h - 0.5),
+                             (tx * tile_w + tile_w, ty * tile_h - 0.5),
+                             (tx * tile_w - 0.5, ty * tile_h + tile_h),
+                             (tx * tile_w + tile_w, ty * tile_h + tile_h)):
+                cex = cam_ref[3] + pxc * cam_ref[6] + pyc * cam_ref[9] - o3[0]
+                cey = cam_ref[4] + pxc * cam_ref[7] + pyc * cam_ref[10] - o3[1]
+                cez = cam_ref[5] + pxc * cam_ref[8] + pyc * cam_ref[11] - o3[2]
+                cok = pick3(o3[0], o3[1], o3[2], k)
+                cou = pick3(o3[0], o3[1], o3[2], (k + 1) % 3)
+                cov = pick3(o3[0], o3[1], o3[2], (k + 2) % 3)
+                cdk = pick3(cex, cey, cez, k)
+                cdu = pick3(cex, cey, cez, (k + 1) % 3)
+                cdv = pick3(cex, cey, cez, (k + 2) % 3)
+                cinv = jnp.clip(1.0 / cdk, -BIG, BIG)
+                corners.append((cok, cou, cov, cdu, cdv, cinv))
 
         ku = (k + 1) % 3
         kv = (k + 2) % 3
@@ -375,16 +397,36 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
             in_slice = active0 & ~done & (t1 >= t0) & (t1 >= 0.0)
 
-            # scalar corner-ray footprint on the window's two k-planes
-            u_lo = jnp.float32(1e9); u_hi = jnp.float32(-1e9)
-            v_lo = jnp.float32(1e9); v_hi = jnp.float32(-1e9)
-            for (cok, cou, cov, cdu, cdv, cinv) in corners:
-                for kk in (k0, k1):
-                    tt = (kk - cok) * cinv
-                    uu = (cou + cdu * tt) * bpu
-                    vv = (cov + cdv * tt) * bpu
-                    u_lo = jnp.minimum(u_lo, uu); u_hi = jnp.maximum(u_hi, uu)
-                    v_lo = jnp.minimum(v_lo, vv); v_hi = jnp.maximum(v_hi, vv)
+            if ray_source == "camera":
+                # scalar corner-ray footprint on the window's two k-planes
+                u_lo = jnp.float32(1e9); u_hi = jnp.float32(-1e9)
+                v_lo = jnp.float32(1e9); v_hi = jnp.float32(-1e9)
+                for (cok, cou, cov, cdu, cdv, cinv) in corners:
+                    for kk in (k0, k1):
+                        tt = (kk - cok) * cinv
+                        uu = (cou + cdu * tt) * bpu
+                        vv = (cov + cdv * tt) * bpu
+                        u_lo = jnp.minimum(u_lo, uu)
+                        u_hi = jnp.maximum(u_hi, uu)
+                        v_lo = jnp.minimum(v_lo, vv)
+                        v_hi = jnp.maximum(v_hi, vv)
+            else:
+                # arbitrary ray lists: per-ray extents + 4 reductions
+                tc0 = jnp.maximum(t0, 0.0)
+                ua = (ou_ + du_ * tc0) * bpu
+                ub = (ou_ + du_ * t1) * bpu
+                va = (ov_ + dv_ * tc0) * bpu
+                vb = (ov_ + dv_ * t1) * bpu
+                inf_hi = jnp.full(shape, 1e9, jnp.float32)
+                inf_lo = jnp.full(shape, -1e9, jnp.float32)
+                u_lo = jnp.min(jnp.where(in_slice, jnp.minimum(ua, ub),
+                                         inf_hi))
+                u_hi = jnp.max(jnp.where(in_slice, jnp.maximum(ua, ub),
+                                         inf_lo))
+                v_lo = jnp.min(jnp.where(in_slice, jnp.minimum(va, vb),
+                                         inf_hi))
+                v_hi = jnp.max(jnp.where(in_slice, jnp.maximum(va, vb),
+                                         inf_lo))
             any_in = jnp.any(in_slice)
 
             iu0 = jnp.clip(jnp.floor(u_lo).astype(jnp.int32), 0, nu - 1)
@@ -815,6 +857,15 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
         # ---- shade: palette albedo via lane gathers ------------------------
         hit = (hit_t < BIG) & (resolved_i > 0)
+        if shading == "trace":
+            # trace-only: consumers read t + aux; no shade stage
+            aux = (hit_mat | (hit_ax << AUX_AX_SHIFT)
+                   | (resolved_i << AUX_RESOLVED_SHIFT)
+                   | (jnp.minimum(steps, 0x7ffff) << AUX_STEPS_SHIFT))
+            rgba_ref[:] = jnp.zeros(shape, jnp.int32)
+            t_ref[:] = jnp.where(hit, hit_t, BIG)
+            aux_ref[:] = aux
+            return
         pidx = hit_mat & 127
         hi_half = hit_mat >= 128
         alb = []
@@ -855,8 +906,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             sky = [jnp.zeros(shape, jnp.float32)] * 3
 
         rgb = [jnp.where(hit, a, s) for a, s in zip(alb, sky)]
-        rgb8 = [jnp.clip(_aces(v) * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
-                for v in rgb]
+        if shading == "raw":
+            # un-tonemapped albedo8 for multi-pass pipelines (relighting
+            # happens outside; palette entries are 8-bit so this is exact)
+            rgb8 = [jnp.clip(v * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+                    for v in rgb]
+        else:
+            rgb8 = [jnp.clip(_aces(v) * 255.0 + 0.5, 0.0,
+                             255.0).astype(jnp.int32) for v in rgb]
         rgba = rgb8[0] | (rgb8[1] << 8) | (rgb8[2] << 16) | jnp.int32(-(1 << 24))
 
         aux = (hit_mat | (hit_ax << AUX_AX_SHIFT)
@@ -1039,6 +1096,19 @@ def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
     sd = jnp.asarray(SUN_DIR if sun_dir is None else sun_dir, jnp.float32)
     cam_p = mega_camera(mv, camera, sd, width, height, sun_scale, sky_const)
     tb = mv.tables
+    tile_h = tile_rows * LANES // tile_w
+    wp = -(-width // tile_w) * tile_w    # pad to tile grid, crop after
+    hp = -(-height // tile_h) * tile_h
+    if (wp, hp) != (width, height):
+        out = _render_mega_frame(
+            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal, bsize=tb.bsize,
+            vpu=tb.vpu, width=wp, height=hp, tile_rows=tile_rows,
+            tile_w=tile_w, sky_mode=sky_mode, shading=shading,
+            ambient=ambient, max_bricks_per_tile=max_bricks_per_tile,
+            fine_iters=fine_iters, word_gather=word_gather,
+            fetch_mat=fetch_mat, fine_unroll=fine_unroll,
+            track_steps=track_steps, interpret=interpret)
+        return {kk: vv[:height, :width] for kk, vv in out.items()}
     return _render_mega_frame(
         cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal, bsize=tb.bsize,
         vpu=tb.vpu, width=width, height=height, tile_rows=tile_rows,
@@ -1047,3 +1117,194 @@ def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Ray-list tracing (shadow rays, bounce wavefronts) + fast lit pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsize", "vpu", "tile_rows", "max_bricks_per_tile",
+                     "fine_iters", "fetch_mat", "fine_unroll",
+                     "track_steps", "word_gather", "interpret"))
+def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
+               max_bricks_per_tile=64, fine_iters=24, fetch_mat=False,
+               fine_unroll=4, track_steps=False, word_gather=True,
+               interpret=False):
+    """Trace N local-space rays through the fast kernel (ray_source='refs').
+
+    The ray-list twin of `render_mega_tiles` — for shadow rays and bounce
+    wavefronts whose origins are scattered (no shared pinhole).  N must be
+    a multiple of tile_rows*128 (pad outside, see `pad_rays`).  Returns a
+    dict of (N,) arrays: t (BIG = miss), mat (0 unless fetch_mat), ax
+    (axis*2 + step-sign>0), steps, resolved.
+    """
+    n = o_l.shape[0]
+    tile = tile_rows * LANES
+    assert n % tile == 0, f"{n} rays not a multiple of {tile}"
+    n_tiles = n // tile
+    comps = [o_l[:, i].reshape(n_tiles * tile_rows, LANES) for i in range(3)]
+    comps += [d_l[:, i].reshape(n_tiles * tile_rows, LANES) for i in range(3)]
+
+    kernel = _make_mega_kernel(
+        bsize, vpu, tile_rows=tile_rows, tile_w=128, nx_tiles=n_tiles,
+        max_bricks_per_tile=max_bricks_per_tile, fine_iters=fine_iters,
+        sky_mode="none", shading="trace", ambient=0.0,
+        word_gather=word_gather, fetch_mat=fetch_mat,
+        fine_unroll=fine_unroll, track_steps=track_steps,
+        ray_source="refs")
+
+    cam = jnp.zeros((29,), jnp.float32)
+    pal = jnp.zeros((8, 128), jnp.float32)
+    block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fixed = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *([block] * 6),
+            pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
+            pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
+            pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[block] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cam, *comps, occ, occw, wsm, matw, pal)
+    _, t, aux = outs
+    t = t.reshape(n)
+    aux = aux.reshape(n)
+    return dict(
+        t=t,
+        mat=aux & 255,
+        ax=(aux >> AUX_AX_SHIFT) & 7,
+        steps=(aux >> AUX_STEPS_SHIFT) & 0x7ffff,
+        resolved=((aux >> AUX_RESOLVED_SHIFT) & 1).astype(bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsize", "vpu", "width", "height", "tile_rows",
+                     "tile_w", "ambient", "fine_unroll", "interpret",
+                     "shadow_tile_rows", "track_steps", "real_width",
+                     "real_height"))
+def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
+                         occw, wsm, matw, pal, camera, *, bsize, vpu, width,
+                         height, tile_rows, tile_w, ambient, fine_unroll,
+                         interpret, shadow_tile_rows, track_steps,
+                         real_width=None, real_height=None):
+    from voxel_tracer_tpu.models.camera import primary_rays
+    from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
+
+    rw = real_width or width      # frustum mapping uses REAL dims; padded
+    rh = real_height or height    # pixels extrapolate outside it
+
+    # pass 1: fused primary rays -> raw albedo8 + depth + mat/axis
+    rgba, t, aux = render_mega_tiles(
+        cam_p, occ, occw, wsm, matw, pal, bsize=bsize, vpu=vpu,
+        width=width, height=height, tile_rows=tile_rows, tile_w=tile_w,
+        sky_mode="none", shading="raw", fine_unroll=fine_unroll,
+        track_steps=track_steps, interpret=interpret)
+    tile_h = tile_rows * LANES // tile_w
+    n = width * height
+    t = untile(t.reshape(n), height, width, tile_h, tile_w)
+    aux = untile(aux.reshape(n), height, width, tile_h, tile_w)
+    rgba = untile(rgba.reshape(n), height, width, tile_h, tile_w)
+
+    hit = t < BIG
+    alb = jnp.stack([(rgba >> s) & 255 for s in (0, 8, 16)],
+                    axis=-1).astype(jnp.float32) / 255.0
+    ax = (aux >> AUX_AX_SHIFT) & 7
+    axis_k = ax >> 1
+    sgn = jnp.where((ax & 1) == 1, -1.0, 1.0)     # normal = -step sign
+    n_local = jax.nn.one_hot(axis_k, 3, dtype=jnp.float32) * sgn[:, None]
+    normal = n_local @ rot.T                      # local -> world rows
+
+    # primary dirs (world) — elementwise, no gathers
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32),
+                          indexing="ij")
+    origins, dirs = primary_rays(camera, xs, ys, rw, rh)
+    origins = origins.reshape(-1, 3)
+    dirs = dirs.reshape(-1, 3)
+
+    # pass 2: shadow rays toward the sun from offset hit points
+    p_w = origins + dirs * jnp.minimum(t, BIG)[:, None] + normal * 1e-4
+    sdirs = jnp.broadcast_to(sun_dir, p_w.shape)
+    o_s, d_s = _to_local(rot, pos, pivot, p_w, sdirs)
+    # miss rays trace from far outside the volume: instant slab reject
+    pad = (-n) % (shadow_tile_rows * LANES)
+    if pad:
+        o_s = jnp.concatenate(
+            [o_s, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
+        d_s = jnp.concatenate(
+            [d_s, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                           (pad, 1))], axis=0)
+    sh = trace_rays(o_s, d_s, occ, occw, wsm, matw, bsize=bsize, vpu=vpu,
+                    tile_rows=shadow_tile_rows, fine_unroll=fine_unroll,
+                    interpret=interpret)
+    occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
+    # unresolved shadow rays (sun fighting the tile axis) fall back to lit
+
+    incidence = jnp.sum(normal * sun_dir, axis=-1)
+    lit = hit & (incidence > 0.0) & ~occluded
+    irr = jnp.where(lit[:, None], sun_light * incidence[:, None], 0.0) \
+        + ambient
+
+    sun_n = sun_dir / jnp.linalg.norm(sun_dir)
+    sky = jnp.stack(_analytic_sky(
+        tuple(dirs[:, i] for i in range(3)), tuple(sun_n)), axis=-1)
+    color = jnp.where(hit[:, None], alb * irr, sky)
+    img = jnp.clip(_aces(color) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    steps = (aux >> AUX_STEPS_SHIFT) & 0x7ffff
+    return dict(
+        image=img.reshape(height, width, 3),
+        albedo=alb.reshape(height, width, 3),
+        irradiance=irr.reshape(height, width, 3),
+        depth=jnp.where(hit, t, BIG).reshape(height, width),
+        normal=normal.reshape(height, width, 3),
+        steps=(steps + sh["steps"][:n]).reshape(height, width),
+        material=(aux & 255).reshape(height, width),
+    )
+
+
+def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
+                        sun_dir=None, sun_light=None, ambient=0.2,
+                        tile_rows=8, tile_w=32, fine_unroll=4,
+                        interpret=False, shadow_tile_rows=8,
+                        track_steps=True):
+    """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
+    ray-list shadow pass + gather-free XLA shading/tonemap.
+
+    The fast analog of renderer_fast.render_lambert_fast (sun_light,
+    shadow rays: materials.cpp:226-244 semantics, minus sphere lights)."""
+    from voxel_tracer_tpu.models.scene import SUN_DIR, SUN_LIGHT
+
+    sd = jnp.asarray(SUN_DIR if sun_dir is None else sun_dir, jnp.float32)
+    sl = jnp.asarray(SUN_LIGHT if sun_light is None else sun_light,
+                     jnp.float32)
+    cam_p = mega_camera(mv, camera, sd, width, height)
+    tb = mv.tables
+    tile_h = tile_rows * LANES // tile_w
+    wp = -(-width // tile_w) * tile_w    # pad to tile grid, crop after
+    hp = -(-height // tile_h) * tile_h
+    out = _render_lambert_mega(
+        cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, tb.occ, tb.occw, tb.wsm,
+        tb.matw, mv.pal, camera, bsize=tb.bsize, vpu=tb.vpu, width=wp,
+        height=hp, tile_rows=tile_rows, tile_w=tile_w, ambient=ambient,
+        fine_unroll=fine_unroll, interpret=interpret,
+        shadow_tile_rows=shadow_tile_rows, track_steps=track_steps,
+        real_width=width, real_height=height)
+    if (wp, hp) != (width, height):
+        out = {kk: vv[:height, :width] for kk, vv in out.items()}
+    return out
