@@ -44,6 +44,7 @@ class SceneData(NamedTuple):
     sun_light: jnp.ndarray
     lights: SphereLightData
     sky: SkyDomeData
+    prims: "PrimsData"        # analytic spheres/capsules (ops/prims.py)
 
 
 @dataclass
@@ -63,6 +64,8 @@ class Scene:
     sun_dir: np.ndarray = field(default_factory=lambda: SUN_DIR.copy())
     sun_light: np.ndarray = field(default_factory=lambda: SUN_LIGHT.copy())
     skydome: Optional[SkyDome] = None
+    spheres: List[tuple] = field(default_factory=list)
+    capsules: List[tuple] = field(default_factory=list)
 
     def add(self, volume: VoxelVolume) -> "Scene":
         self.volumes.append(volume)
@@ -72,6 +75,29 @@ class Scene:
         self.lights.append(SphereLight(
             np.asarray(origin, np.float32), float(radius),
             np.asarray(color, np.float32), float(power)))
+        return self
+
+    def add_sphere(self, origin, radius, mat=17, albedo=None) -> "Scene":
+        """Analytic sphere (sphere.cpp; albedo=None = normal-as-color)."""
+        self.spheres.append((origin, radius, mat, albedo))
+        return self
+
+    def add_capsule(self, a, b, radius, mat=None, albedo=None) -> "Scene":
+        """Analytic capsule; defaults are the laser-beam hack
+        (capsule.cpp:56-70: material 0xFF, emissive red)."""
+        from voxel_tracer_tpu.ops.prims import LASER_ALBEDO, LASER_MAT
+        self.capsules.append((a, b, radius,
+                              LASER_MAT if mat is None else mat,
+                              LASER_ALBEDO if albedo is None else albedo))
+        return self
+
+    def set_laser(self, path, radius=0.01) -> "Scene":
+        """Replace the laser capsule chain from a polyline (game.cpp:76-83:
+        the Renderer::path output becomes <= 8 renderable segments)."""
+        self.capsules = [c for c in self.capsules
+                         if c[3] != 0xFF]  # drop old laser segments
+        for a, b in zip(path[:-1], path[1:]):
+            self.add_capsule(a, b, radius)
         return self
 
     def data(self) -> SceneData:
@@ -107,9 +133,13 @@ class Scene:
             aoe_sqr=lp / (4.0 * np.pi),  # sphere-light.h aprox_aoe_sqr
         )
 
+        from voxel_tracer_tpu.ops.prims import build_prims
+        prims = build_prims(self.spheres, self.capsules)
+
         sky = (self.skydome or SkyDome.black()).data()
         return SceneData(
             groups=tuple(groups),
+            prims=prims,
             sun_dir=jnp.asarray(self.sun_dir),
             sun_light=jnp.asarray(self.sun_light),
             lights=lights,

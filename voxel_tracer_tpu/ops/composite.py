@@ -165,12 +165,21 @@ def intersect_group(group: VolumeData, origins, dirs, max_candidates: int = 4,
 
 def intersect_scene(scene: SceneData, origins, dirs, max_candidates: int = 4,
                     max_steps: int = dda.MAX_STEPS) -> HitResult:
-    """Nearest hit across all volume groups (Scene::intersect analog,
-    scene.cpp:49-54 — sky fallback is applied by the shader)."""
+    """Nearest hit across all volume groups and analytic primitives
+    (Scene::intersect analog, scene.cpp:49-54 — sky fallback is applied
+    by the shader)."""
+    from voxel_tracer_tpu.ops.prims import intersect_prims
+
     best = HitResult.miss(origins.shape[0])
     for group in scene.groups:
         best = best.nearer(
             intersect_group(group, origins, dirs, max_candidates, max_steps))
+    prim = intersect_prims(scene.prims, origins, dirs)
+    if prim is not None:
+        t, mat, normal, albedo = prim
+        best = best.nearer(HitResult(
+            t=t, mat=mat, normal=normal, albedo=albedo,
+            steps=jnp.zeros_like(mat)))
     return best
 
 
