@@ -32,9 +32,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# megakernel tuning for the bench workload (see mega.py docstring)
-TILE_ROWS = 32
-TILE_W = 64
+# megakernel tuning for the bench workload (see mega.py docstring);
+# 128x64-px tiles measured fastest on v5e (sweep: 64x64px 387 Mrays/s,
+# 128x64px 415 Mrays/s at 32 frames/dispatch)
+TILE_ROWS = 64
+TILE_W = 128
 FINE_UNROLL = 6
 FRAMES_PER_DISPATCH = 128
 
