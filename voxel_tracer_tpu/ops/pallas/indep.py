@@ -343,15 +343,6 @@ def _make_indep_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
         # tile-end material vote (mega.py run-mode scheme)
         hit = (hit_t < BIG) & (resolved_i > 0)
-        if shading == "trace":
-            aux = ((hit_ax << AUX_AX_SHIFT)
-                   | (resolved_i << AUX_RESOLVED_SHIFT)
-                   | (jnp.minimum(steps, 0x7ffff) << AUX_STEPS_SHIFT))
-            rgba_ref[:] = jnp.zeros(shape, jnp.int32)
-            t_ref[:] = jnp.where(hit, hit_t, BIG)
-            aux_ref[:] = aux
-            return
-
         pending0 = (hit & (h_info >= 0)).astype(jnp.int32)
 
         def mat_cond(c):
@@ -370,9 +361,24 @@ def _make_indep_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             hm = jnp.where(sel, mbyte, hm)
             return (it + 1, (p & ~sel).astype(jnp.int32), hm)
 
-        _, _, hit_mat = jax.lax.while_loop(
+        _, pending_left, hit_mat = jax.lax.while_loop(
             mat_cond, mat_body,
             (jnp.int32(0), pending0, jnp.zeros(shape, jnp.int32)))
+        # Lanes whose brick never won a vote round stay UNRESOLVED instead
+        # of silently shading with palette entry 0 (mirrors the traversal
+        # vote's pend_left handling in outer_body).
+        vote_overflow = pending_left > 0
+        resolved_i = jnp.where(vote_overflow, 0, resolved_i)
+        hit = hit & ~vote_overflow
+
+        if shading == "trace":
+            aux = (hit_mat | (hit_ax << AUX_AX_SHIFT)
+                   | (resolved_i << AUX_RESOLVED_SHIFT)
+                   | (jnp.minimum(steps, 0x7ffff) << AUX_STEPS_SHIFT))
+            rgba_ref[:] = jnp.zeros(shape, jnp.int32)
+            t_ref[:] = jnp.where(hit, hit_t, BIG)
+            aux_ref[:] = aux
+            return
 
         # shade + sky + tonemap (mega.py tail semantics)
         pidx = hit_mat & 127
@@ -489,9 +495,11 @@ def trace_rays_indep(o_l, d_l, occb, occw, matw, *, bsize, vpu, tile_rows=8,
                      track_steps=False, interpret=False):
     """Ray-list twin (shadow/bounce wavefronts) of render_indep_tiles.
 
-    Unlike mega.trace_rays there is NO unresolved direction residue — any
-    ray direction traces exactly.  Returns dict of (N,) arrays: t, mat
-    (=0: see aux note), ax, steps, resolved.
+    Unlike mega.trace_rays there is no *direction-dependent* residue (any
+    ray direction traces); lanes can still come back resolved=False when an
+    outer iteration sees more than `vote_rounds` distinct occupied bricks
+    or `fine_iters` is exhausted.  Returns dict of (N,) arrays: t, mat, ax,
+    steps, resolved.
     """
     n = o_l.shape[0]
     tile = tile_rows * LANES

@@ -25,39 +25,34 @@ from voxel_tracer_tpu.models.camera import Camera, rays_for_image
 from voxel_tracer_tpu.models.scene import SceneData
 from voxel_tracer_tpu.parallel.mesh import RAYS
 from voxel_tracer_tpu.ops import composite, diff
-from voxel_tracer_tpu.renderer import RenderConfig, _render_impl
+from voxel_tracer_tpu.renderer import RenderConfig
 
 
 def sharded_render(mesh: Mesh, config: RenderConfig):
     """Build a jitted, ray-sharded full-frame render function.
 
-    Rays are generated per shard (ray-gen is cheap and local); the scene
-    pytree is replicated.  Returns fn(scene, camera, frame) -> aov dict.
+    Ray-gen runs replicated (it is trivially cheap), then a sharding
+    constraint pins the ray wavefront to the `rays` mesh axis so GSPMD
+    partitions every downstream traversal/shading op over devices; the
+    scene pytree stays replicated (zero collectives in the forward pass).
+    Returns fn(scene, camera, frame) -> aov dict.
     """
+    from jax.sharding import NamedSharding
+    from voxel_tracer_tpu.renderer import render_rays
+
     n_rays = config.width * config.height
     n_dev = mesh.devices.size
     assert n_rays % n_dev == 0, (
         f"{config.width}x{config.height} rays must divide over {n_dev} devices")
 
-    def shard_fn(scene: SceneData, camera: Camera, frame, ray_idx):
-        origins, dirs = rays_for_image(camera, config.width, config.height)
-        # Each shard slices its ray block by index (generated locally).
-        o = origins[ray_idx]
-        d = dirs[ray_idx]
-        hit = composite.intersect_scene(
-            scene, o, d, config.max_candidates, config.max_steps)
-        return hit
-
-    # Simpler & robust: render the wavefront via jit with sharding
-    # constraints — XLA partitions the elementwise/march work over rays.
-    from jax.sharding import NamedSharding
-
     ray_sh = NamedSharding(mesh, P(RAYS))
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def render(scene, camera, frame):
-        out = _render_impl(scene, camera, frame, config=config)
-        return out
+        origins, dirs = rays_for_image(camera, config.width, config.height)
+        origins = jax.lax.with_sharding_constraint(origins, ray_sh)
+        dirs = jax.lax.with_sharding_constraint(dirs, ray_sh)
+        return render_rays(scene, origins, dirs, frame, config=config)
 
     return render
 

@@ -68,6 +68,13 @@ class Renderer:
 def _render_impl(scene: SceneData, camera: Camera, frame, *, config: RenderConfig):
     w, h = config.width, config.height
     origins, dirs = rays_for_image(camera, w, h)
+    return render_rays(scene, origins, dirs, frame, config=config)
+
+
+def render_rays(scene: SceneData, origins, dirs, frame, *, config: RenderConfig):
+    """Render a pre-generated ray wavefront (ray-gen split out so callers —
+    e.g. parallel/sharding.py — can place sharding constraints on the rays)."""
+    w, h = config.width, config.height
 
     hit = composite.intersect_scene(
         scene, origins, dirs, config.max_candidates, config.max_steps)

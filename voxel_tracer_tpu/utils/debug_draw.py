@@ -32,11 +32,9 @@ class DebugOverlay:
 
     def __init__(self, width: int, height: int):
         self.surface = Surface(width, height)
-        self._mask = np.zeros((height, width), bool)
 
     def clear(self):
         self.surface.clear()
-        self._mask[:] = False
 
     # -- projection -------------------------------------------------------
 
@@ -62,7 +60,6 @@ class DebugOverlay:
         if ok.all():
             (x0, y0), (x1, y1) = xy
             self.surface.line(x0, y0, x1, y1, color)
-            self._mark()
 
     def draw_normal(self, cam: Camera, p, n, scale: float = 0.1,
                     color=GREEN):
@@ -102,10 +99,6 @@ class DebugOverlay:
             if ok[i] and ok[j]:
                 self.surface.line(xy[i, 0], xy[i, 1], xy[j, 0], xy[j, 1],
                                   color)
-        self._mark()
-
-    def _mark(self):
-        self._mask |= self.surface.pixels.any(axis=-1)
 
     # -- compositing (template.cpp:329-333 analog) --------------------------
 
