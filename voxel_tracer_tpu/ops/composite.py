@@ -31,6 +31,7 @@ class HitResult(NamedTuple):
     normal: jnp.ndarray   # (N, 3) f32 world-space normal
     albedo: jnp.ndarray   # (N, 3) f32 palette albedo
     steps: jnp.ndarray    # (N,) int32 traversal cost (debug/profiling)
+    obj: jnp.ndarray      # (N,) int32 global object index (-1 miss, -2 prim)
 
     @staticmethod
     def miss(n):
@@ -40,6 +41,7 @@ class HitResult(NamedTuple):
             normal=jnp.zeros((n, 3), jnp.float32),
             albedo=jnp.zeros((n, 3), jnp.float32),
             steps=jnp.zeros((n,), jnp.int32),
+            obj=jnp.full((n,), -1, jnp.int32),
         )
 
     def nearer(self, other: "HitResult") -> "HitResult":
@@ -50,6 +52,7 @@ class HitResult(NamedTuple):
             normal=jnp.where(take[:, None], other.normal, self.normal),
             albedo=jnp.where(take[:, None], other.albedo, self.albedo),
             steps=self.steps + other.steps,
+            obj=jnp.where(take, other.obj, self.obj),
         )
 
 
@@ -70,14 +73,15 @@ def _to_local(rot, pos, pivot, origins, dirs):
     return o_l, d_l
 
 
-def _trace_one(group: VolumeData, oid_static: int, origins, dirs, max_steps):
+def _trace_one(group: VolumeData, oid_static: int, origins, dirs, max_steps,
+               obj_base: int = 0, **dda_kw):
     """Trace all rays against one object of a group (no candidate select)."""
     rot = group.rot[oid_static]
     o_l, d_l = _to_local(rot, group.pos[oid_static], group.pivot[oid_static],
                          origins, dirs)
     res = dda.intersect_volume_local(
         group.grid[oid_static], group.brick_occ[oid_static], o_l, d_l,
-        group.vpu[oid_static], max_steps=max_steps)
+        group.vpu[oid_static], max_steps=max_steps, **dda_kw)
     hit = res["t"] < BIG_F32
     normal = dda.normal_from_axis(res["axis"], res["step_sign"], rot)
     albedo = jnp.take(group.palette[oid_static], res["mat"], axis=0, mode="clip")
@@ -87,6 +91,7 @@ def _trace_one(group: VolumeData, oid_static: int, origins, dirs, max_steps):
         normal=jnp.where(hit[:, None], normal, 0.0),
         albedo=jnp.where(hit[:, None], albedo, 0.0),
         steps=res["steps"],
+        obj=jnp.where(hit, obj_base + oid_static, -1),
     )
 
 
@@ -123,12 +128,14 @@ def _slab_prepass_topk(group: VolumeData, origins, dirs, k: int):
 
 
 def intersect_group(group: VolumeData, origins, dirs, max_candidates: int = 4,
-                    max_steps: int = dda.MAX_STEPS) -> HitResult:
+                    max_steps: int = dda.MAX_STEPS, obj_base: int = 0,
+                    **dda_kw) -> HitResult:
     """Nearest hit against one shape-homogeneous group of volumes."""
     n = origins.shape[0]
     o_count = group.grid.shape[0]
     if o_count == 1:
-        return _trace_one(group, 0, origins, dirs, max_steps)
+        return _trace_one(group, 0, origins, dirs, max_steps, obj_base,
+                          **dda_kw)
 
     k = min(max_candidates, o_count)
     cand_t, cand_id = _slab_prepass_topk(group, origins, dirs, k)
@@ -146,7 +153,7 @@ def intersect_group(group: VolumeData, origins, dirs, max_candidates: int = 4,
         o_l, d_l = _to_local(rot, pos, pivot, origins, dirs)
         res = dda.intersect_volume_local(
             group.grid, group.brick_occ, o_l, d_l, vpu, oid=oid,
-            max_steps=max_steps)
+            max_steps=max_steps, **dda_kw)
         hit = live & (res["t"] < BIG_F32)
         normal = dda.normal_from_axis(res["axis"], res["step_sign"], rot)
         pal_flat = group.palette.reshape(-1, 3)
@@ -158,38 +165,109 @@ def intersect_group(group: VolumeData, origins, dirs, max_candidates: int = 4,
             normal=jnp.where(hit[:, None], normal, 0.0),
             albedo=jnp.where(hit[:, None], albedo, 0.0),
             steps=jnp.where(live, res["steps"], 0),
+            obj=jnp.where(hit, obj_base + oid, -1),
         )
         best = best.nearer(cand)
     return best
 
 
 def intersect_scene(scene: SceneData, origins, dirs, max_candidates: int = 4,
-                    max_steps: int = dda.MAX_STEPS) -> HitResult:
+                    max_steps: int = dda.MAX_STEPS,
+                    ignore=None, shadow_seed=None,
+                    shadow: bool = False) -> HitResult:
     """Nearest hit across all volume groups and analytic primitives
     (Scene::intersect analog, scene.cpp:49-54 — sky fallback is applied
-    by the shader)."""
+    by the shader).
+
+    ``ignore`` (per-ray material id, 0 = off) threads the scan-ray
+    pass-through and ``shadow_seed``/``shadow`` the stochastic shadow
+    semantics down to every volume traversal (ray.h:40-42 flags)."""
     from voxel_tracer_tpu.ops.prims import intersect_prims
 
+    dda_kw = {}
+    if ignore is not None:
+        dda_kw["ignore"] = ignore
+    if shadow:
+        dda_kw["shadow"] = True
+        dda_kw["shadow_seed"] = shadow_seed
+
     best = HitResult.miss(origins.shape[0])
+    obj_base = 0
     for group in scene.groups:
         best = best.nearer(
-            intersect_group(group, origins, dirs, max_candidates, max_steps))
+            intersect_group(group, origins, dirs, max_candidates, max_steps,
+                            obj_base, **dda_kw))
+        obj_base += group.grid.shape[0]
     prim = intersect_prims(scene.prims, origins, dirs)
     if prim is not None:
         t, mat, normal, albedo = prim
         best = best.nearer(HitResult(
             t=t, mat=mat, normal=normal, albedo=albedo,
-            steps=jnp.zeros_like(mat)))
+            steps=jnp.zeros_like(mat),
+            obj=jnp.where(t < BIG_F32, -2, -1)))
     return best
+
+
+def march_interior(scene: SceneData, obj, origins, dirs, medium,
+                   max_steps: int = dda.MAX_STEPS) -> HitResult:
+    """Interior exit march for rays inside a medium (glass).
+
+    Traces each ray ONLY against the object it refracted into (per-ray
+    global index ``obj`` from a previous HitResult) with `medium` semantics
+    — the analog of the reference marching an interior ray through
+    `scene.intersect` (materials.cpp:133-135 -> vv.cpp:166-232).  Deviation:
+    the reference sends interior rays through the whole scene, where any
+    OTHER volume immediately reports a depth-0 air exit (vv.cpp:228-232),
+    corrupting multi-object glass; scoping the march to the entered object
+    is the evident intent.  Interior rays never miss: they exit at the
+    first non-medium voxel, an empty brick, or the OBB exit plane.
+    """
+    n = origins.shape[0]
+    out = HitResult.miss(n)
+    obj_base = 0
+    for group in scene.groups:
+        o_count = group.grid.shape[0]
+        oid = jnp.clip(obj - obj_base, 0, o_count - 1)
+        in_group = (obj >= obj_base) & (obj < obj_base + o_count)
+        rot = jnp.take(group.rot, oid, axis=0)
+        pos = jnp.take(group.pos, oid, axis=0)
+        pivot = jnp.take(group.pivot, oid, axis=0)
+        vpu = jnp.take(group.vpu, oid, axis=0)
+        o_l, d_l = _to_local(rot, pos, pivot, origins, dirs)
+        res = dda.intersect_volume_local(
+            group.grid, group.brick_occ, o_l, d_l, vpu,
+            oid=oid if o_count > 1 else None,
+            max_steps=max_steps, medium=medium)
+        normal = dda.normal_from_axis(res["axis"], res["step_sign"], rot)
+        pal_flat = group.palette.reshape(-1, 3)
+        albedo = jnp.take(pal_flat, oid * 256 + jnp.clip(res["mat"], 0, 255),
+                          axis=0)
+        sel = in_group
+        out = HitResult(
+            t=jnp.where(sel, res["t"], out.t),
+            mat=jnp.where(sel, res["mat"], out.mat),
+            normal=jnp.where(sel[:, None], normal, out.normal),
+            albedo=jnp.where(sel[:, None], albedo, out.albedo),
+            steps=jnp.where(sel, res["steps"], out.steps),
+            obj=jnp.where(sel, obj, out.obj),
+        )
+        obj_base += o_count
+    return out
 
 
 def is_occluded(scene: SceneData, origins, dirs, tmax,
                 max_candidates: int = 4,
-                max_steps: int = dda.MAX_STEPS) -> jnp.ndarray:
+                max_steps: int = dda.MAX_STEPS,
+                shadow_seed=None) -> jnp.ndarray:
     """Shadow-ray test (Scene::is_occluded analog, scene.cpp:66-71).
 
-    The reference's stochastic glass shadow pass-through (vv.cpp:314-327)
-    is handled by the shader via the returned hit material.
+    With ``shadow_seed`` (per-ray uint32), volume traversals use shadow-ray
+    semantics: ids > 16 occlude, glass/mirror rows occlude stochastically
+    with p = 0.15 per voxel (vv.cpp:314-327).  Without a seed the test is
+    deterministic (every solid voxel occludes) — used by the lambert
+    benchmark pipeline.
     """
-    hit = intersect_scene(scene, origins, dirs, max_candidates, max_steps)
+    hit = intersect_scene(scene, origins, dirs, max_candidates, max_steps,
+                          shadow_seed=shadow_seed,
+                          shadow=shadow_seed is not None)
     return hit.t < tmax, hit

@@ -12,6 +12,30 @@ control flow, static shapes, XLA-fusable).  Per-ray state is a struct of
 Semantics match `voxel_tracer_tpu.ops.oracle` exactly (shared step budget
 `MAX_STEPS = 256` across both levels, vv.cpp:7; entry-voxel hits keep the
 slab entry normal, vv.cpp:159).
+
+Glass infrastructure (the reference Ray's `medium_id` / `ignore_medium`
+state, ray.h:40-41, and shadow-ray stochastic absorption, vv.cpp:314-327):
+
+- ``medium``: per-ray material id the ray currently travels inside.  While
+  set, the march is an *interior exit* march (vv.cpp:297-310): the first
+  voxel whose id differs from the medium is the exit hit (material may be 0
+  = air), an empty brick exits at its entry plane (vv.cpp:166-175), and
+  leaving the grid exits at the OBB exit distance — the `exit_t` analog of
+  obb.cpp:82-106, which here is simply the slab tmax (vv.cpp:206-225).
+  Interior rays therefore never miss.
+- ``ignore``: material id to pass through until the ray has seen at least
+  one air voxel ("scan rays" leaving a glass medium, vv.cpp:328-335).
+  Deviation: the reference's `exited` flag is local to one brick traversal
+  (reset at every brick), which re-ignores the medium after any brick
+  crossing; here it persists for the whole volume traversal (the evident
+  intent).  The no-op sentinel is 0 (air), not the reference's 0xFF, which
+  collides with the laser material id.
+- ``shadow_seed`` (+ static ``shadow=True``): shadow-ray semantics —
+  material ids > 16 always occlude, ids <= 16 (glass/mirror rows) occlude
+  stochastically with probability 0.15 per encountered voxel
+  (vv.cpp:314-327).  The RandomFloat() call is replaced by a counting hash
+  of (per-ray seed, voxel cell) so the result is deterministic and
+  reproducible across shardings; the oracle implements the same hash.
 """
 
 from __future__ import annotations
@@ -57,6 +81,36 @@ def slab_test(origin_l, dir_l, size):
     return tmin, tmax, entry_axis.astype(jnp.int32), hit
 
 
+def hash_shadow(seed, cell_xyz):
+    """Counting hash -> uniform [0,1) per (ray seed, voxel cell).
+
+    Deterministic stand-in for the reference's global-xorshift RandomFloat()
+    in the shadow-ray stochastic absorption (vv.cpp:322, tmpl8math.cpp:40-58).
+    lowbias32-style avalanche over the seed xor a spatial key.
+    """
+    seed = seed.astype(jnp.uint32)
+    x = cell_xyz[..., 0].astype(jnp.uint32)
+    y = cell_xyz[..., 1].astype(jnp.uint32)
+    z = cell_xyz[..., 2].astype(jnp.uint32)
+    h = seed ^ (x * jnp.uint32(0x9E3779B1)) ^ (y * jnp.uint32(0x85EBCA77)) \
+        ^ (z * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+
+
+def _ladder_axis(tmax3):
+    """Axis the next A&W step would take — the reference tmax comparison
+    ladder (vv.cpp:208-219), used for the medium grid-exit normal."""
+    tx, ty, tz = tmax3[..., 0], tmax3[..., 1], tmax3[..., 2]
+    use_x = (tx < ty) & (tx < tz)
+    use_y = (~(tx < ty)) & (ty < tz)
+    return jnp.where(use_x, 0, jnp.where(use_y, 1, 2)).astype(jnp.int32)
+
+
 class DdaState(NamedTuple):
     mode: jnp.ndarray          # (N,) int32
     bcell: jnp.ndarray         # (N, 3) int32 brick cell
@@ -71,6 +125,7 @@ class DdaState(NamedTuple):
     hit_t: jnp.ndarray         # (N,) f32
     hit_mat: jnp.ndarray       # (N,) int32
     hit_entry: jnp.ndarray     # (N,) bool — hit at entry voxel (steps == 0)
+    exited: jnp.ndarray        # (N,) bool — scan ray has seen an air voxel
 
 
 def _aw_step(cell, tmax3, step, delta, size3):
@@ -111,9 +166,11 @@ def _gather3(grid_zyx, cell_xyz, oid=None, fill=0):
     return jnp.where(inb, vals, fill)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+@functools.partial(jax.jit, static_argnames=("max_steps", "shadow"))
 def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
-                           oid=None, max_steps: int = MAX_STEPS):
+                           oid=None, max_steps: int = MAX_STEPS,
+                           medium=None, ignore=None, shadow_seed=None,
+                           shadow: bool = False):
     """Two-level DDA of N local-space rays through one voxel volume.
 
     Args:
@@ -124,6 +181,12 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
       dir_l:     (N, 3) f32 unit ray directions in local space.
       vpu:       voxels per world unit — scalar or per-ray (N,).
       oid:       optional (N,) int32 object index per ray.
+      medium:    optional (N,) int32 medium id; nonzero = interior exit march
+                 (Ray::medium_id, vv.cpp:166-175,206-232,297-310).
+      ignore:    optional (N,) int32 material to pass until air is seen
+                 (Ray::ignore_medium scan semantics, vv.cpp:328-335; 0 = off).
+      shadow_seed: (N,) uint32 per-ray seeds; with ``shadow=True`` enables
+                 the stochastic <=16 pass-through (vv.cpp:314-327).
 
     Returns dict of (N,) arrays: t (BIG_F32 = miss), mat, axis (last step
     axis), step_sign (N,3), steps, valid (slab hit mask).
@@ -156,8 +219,17 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
 
     zeros_f = jnp.zeros((n,), jnp.float32)
     zeros_i = jnp.zeros((n,), jnp.int32)
+    medium_on = None if medium is None else (medium > 0)
+    mode0 = jnp.where(slab_hit, _BRICK, _MISS).astype(jnp.int32)
+    hit_t0 = jnp.full((n,), BIG_F32, jnp.float32)
+    if medium is not None:
+        # Slab miss while inside a medium: exit immediately at t = 0 with
+        # material air (vv.cpp:228-232).
+        miss_med = ~slab_hit & medium_on
+        mode0 = jnp.where(miss_med, _HIT, mode0)
+        hit_t0 = jnp.where(miss_med, 0.0, hit_t0)
     state = DdaState(
-        mode=jnp.where(slab_hit, _BRICK, _MISS).astype(jnp.int32),
+        mode=mode0,
         bcell=bcell,
         btmax=btmax,
         bt=zeros_f,
@@ -167,9 +239,10 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
         brick_entry_t=zeros_f,
         axis=entry_axis,
         steps=zeros_i,
-        hit_t=jnp.full((n,), BIG_F32, jnp.float32),
+        hit_t=hit_t0,
         hit_mat=zeros_i,
         hit_entry=jnp.zeros((n,), bool),
+        exited=jnp.zeros((n,), bool),
     )
 
     def active(s):
@@ -184,13 +257,30 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
         in_budget = s.steps < max_steps
         is_brick = (s.mode == _BRICK) & in_budget
         is_fine = (s.mode == _FINE) & in_budget
-        # Budget exhausted -> miss (vv.cpp loop bound)
-        mode = jnp.where(active(s) & ~in_budget, _MISS, s.mode)
+        # Budget exhausted -> miss (vv.cpp loop bound); interior rays exit
+        # at the OBB exit distance instead (vv.cpp:206-225: the post-loop
+        # medium branch fires on exhaustion too, axis from the brick tmax).
+        exhausted = active(s) & ~in_budget
+        mode = jnp.where(exhausted, _MISS, s.mode)
+        hit_t = s.hit_t
+        hit_mat = s.hit_mat
+        hit_entry = s.hit_entry
+        if medium is not None:
+            exh_med = exhausted & medium_on
+            mode = jnp.where(exh_med, _HIT, mode)
+            hit_t = jnp.where(exh_med, tmax, hit_t)
+            hit_mat = jnp.where(exh_med, 0, hit_mat)
 
         # ---- brick phase: test occupancy ----------------------------------
         occ = _gather3(brick_occ, s.bcell, oid) > 0
         enter_fine = is_brick & occ
         brick_step = is_brick & ~occ
+        med_brick_exit = None
+        if medium is not None:
+            # Empty brick while inside a medium: exit at the brick entry
+            # plane (vv.cpp:166-175).
+            med_brick_exit = brick_step & medium_on
+            brick_step = brick_step & ~medium_on
 
         # fine setup for rays entering an occupied brick (vv.cpp:237-251)
         brick_entry_t = tmin + s.bt * rbpu
@@ -206,7 +296,22 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
         # ---- fine phase: test voxel ---------------------------------------
         vc = s.bcell * BRICK + s.fcell
         voxel = _gather3(grid, vc, oid)
-        fine_hit = is_fine & (voxel != 0)
+        solid = voxel != 0
+        if shadow:
+            # Shadow semantics: ids > 16 occlude; glass/mirror rows occlude
+            # stochastically with p = 0.15 per voxel (vv.cpp:314-327).
+            rnd = hash_shadow(shadow_seed, vc)
+            hit_vox = solid & ((voxel > 16) | (rnd > 0.85))
+        elif ignore is not None:
+            # Scan-ray pass-through until air is seen (vv.cpp:328-335).
+            hit_vox = solid & (s.exited | (voxel != ignore))
+        else:
+            hit_vox = solid
+        if medium is not None:
+            # Interior exit: first voxel that differs from the medium,
+            # material may be air (vv.cpp:297-310).
+            hit_vox = jnp.where(medium_on, voxel != medium, hit_vox)
+        fine_hit = is_fine & hit_vox
 
         # fine step for non-hit fine rays
         nfcell, nftmax, nft, nfaxis, f_oob = _aw_step(
@@ -228,6 +333,13 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
         mode = upd(do_bstep & b_oob, _MISS, mode)
         mode = upd(enter_fine, _FINE, mode)
         mode = upd(fine_exit & ~b_oob, _BRICK, mode)
+        if medium is not None:
+            # Interior grid exit: exit at the OBB exit distance = slab tmax
+            # (vv.cpp:206-225, the exit_t analog of obb.cpp:82-106).  The
+            # normal axis is the attempted step axis (tmax ladder) — nbaxis,
+            # already merged below via do_bstep.
+            med_grid_exit = do_bstep & b_oob & medium_on
+            mode = upd(med_brick_exit | med_grid_exit, _HIT, mode)
 
         bcell = updv(do_bstep, nbcell, s.bcell)
         btmax = updv(do_bstep, nbtmax, s.btmax)
@@ -242,12 +354,24 @@ def intersect_volume_local(grid, brick_occ, origin_l, dir_l, vpu,
         axis = upd(do_bstep, nbaxis, upd(fine_step & ~fine_exit, nfaxis, s.axis))
         steps = s.steps + (do_bstep | (fine_step & ~fine_exit)).astype(jnp.int32)
 
-        hit_t = upd(fine_hit, s.brick_entry_t + s.ft / vpu, s.hit_t)
-        hit_mat = upd(fine_hit, voxel.astype(jnp.int32), s.hit_mat)
-        hit_entry = upd(fine_hit, s.steps == 0, s.hit_entry)
+        hit_t = upd(fine_hit, s.brick_entry_t + s.ft / vpu, hit_t)
+        hit_mat = upd(fine_hit, voxel.astype(jnp.int32), hit_mat)
+        hit_entry = upd(fine_hit, s.steps == 0, hit_entry)
+
+        exited = s.exited
+        if ignore is not None:
+            saw_air = (is_fine & ~solid) | brick_step
+            exited = exited | (saw_air & (ignore > 0))
+        if medium is not None:
+            hit_t = upd(med_brick_exit, brick_entry_t, hit_t)
+            hit_t = upd(med_grid_exit, tmax, hit_t)
+            hit_mat = upd(med_brick_exit | med_grid_exit, 0, hit_mat)
+            hit_entry = upd(med_brick_exit, s.steps == 0, hit_entry)
+            axis = upd(exh_med, _ladder_axis(s.btmax), axis)
 
         return (DdaState(mode.astype(jnp.int32), bcell, btmax, bt, fcell, ftmax,
-                         ft, b_entry, axis, steps, hit_t, hit_mat, hit_entry),
+                         ft, b_entry, axis, steps, hit_t, hit_mat, hit_entry,
+                         exited),
                 it + 1)
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))

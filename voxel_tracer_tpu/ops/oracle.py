@@ -136,6 +136,27 @@ def sign_of(d):
     return -1 if math.copysign(1.0, d) < 0 else 1
 
 
+def hash_shadow(seed, x, y, z):
+    """Shadow-ray hash -> uniform [0,1); bit-identical to dda.hash_shadow
+    (the deterministic replacement for RandomFloat(), vv.cpp:322)."""
+    M = 0xFFFFFFFF
+    h = (int(seed) ^ (int(x) * 0x9E3779B1) ^ (int(y) * 0x85EBCA77)
+         ^ (int(z) * 0xC2B2AE3D)) & M
+    h = h ^ (h >> 16)
+    h = (h * 0x7FEB352D) & M
+    h = h ^ (h >> 15)
+    h = (h * 0x846CA68B) & M
+    h = h ^ (h >> 16)
+    return np.float32(h) * np.float32(1.0 / 4294967296.0)
+
+
+def _ladder_axis(tmax3):
+    """Reference tmax comparison ladder (vv.cpp:208-219)."""
+    if tmax3[0] < tmax3[1]:
+        return 0 if tmax3[0] < tmax3[2] else 2
+    return 1 if tmax3[1] < tmax3[2] else 2
+
+
 @dataclasses.dataclass
 class OracleHit:
     depth: float = float(BIG_F32)
@@ -149,14 +170,28 @@ class OracleHit:
         return self.depth >= BIG_F32
 
 
-def intersect_volume(vol: OracleVolume, origin, dirn):
-    """Two-level brickmap DDA (vv.cpp:127-369 semantics)."""
+def intersect_volume(vol: OracleVolume, origin, dirn,
+                     medium=0, ignore=0, shadow=False, seed=0):
+    """Two-level brickmap DDA (vv.cpp:127-369 semantics).
+
+    ``medium``: interior exit march (Ray::medium_id, vv.cpp:166-232) — the
+    first voxel differing from the medium / an empty brick / the OBB exit
+    plane terminates the march (interior rays never miss).
+    ``ignore``: scan-ray pass-through of one material until air is seen
+    (vv.cpp:328-335; the `exited` flag persists across bricks here, see
+    ops/dda.py docstring).  ``shadow``+``seed``: stochastic <=16
+    pass-through with the deterministic hash (vv.cpp:314-327).
+    """
     hit = OracleHit()
     o_l = vol.world_to_local(np.asarray(origin, np.float32))
     d_l = vol.world_to_local_vec(np.asarray(dirn, np.float32))
 
     tmin, tmax, entry_axis = slab_test(o_l, d_l, vol.size)
     if tmax < tmin:
+        if medium:
+            # Slab miss inside a medium: exit at t = 0, air (vv.cpp:228-232)
+            hit.depth = 0.0
+            hit.material = 0
         return hit
 
     gz, gy, gx = vol.grid.shape
@@ -180,8 +215,13 @@ def intersect_volume(vol: OracleVolume, origin, dirn):
     t = np.float32(0.0)
     axis = entry_axis
     steps = 0
-    last_axis = entry_axis
-    entry_step_sign = step  # for entry-face normal
+    exited = False
+
+    def world_normal(ax):
+        n_l = np.zeros(3, np.float32)
+        n_l[ax] = -float(step[ax])
+        n_w = vol.local_to_world_vec(n_l)
+        return n_w / np.linalg.norm(n_w)
 
     while steps < MAX_STEPS:
         # brick occupancy test
@@ -191,26 +231,29 @@ def intersect_volume(vol: OracleVolume, origin, dirn):
             # `axis` is shared between brick and fine loops (vv.cpp:156:
             # traverse_brick takes it by reference) — a fine hit at the
             # brick's entry voxel keeps the brick-level step axis.
-            fdist, steps, f_axis, fine_hit = _traverse_brick(
-                vol, cell, o_l, d_l, rdir, step, brick_entry_t, rbpu, vpu, steps, vsize,
-                axis
+            fdist, steps, f_axis, fine_hit, exited = _traverse_brick(
+                vol, cell, o_l, d_l, rdir, step, brick_entry_t, rbpu, vpu,
+                steps, vsize, axis, medium, ignore, shadow, seed, exited
             )
             if fine_hit is not None:
                 hit.depth = brick_entry_t + fdist
                 hit.material = fine_hit
                 hit.albedo = vol.palette[fine_hit].astype(np.float32)
                 hit.steps = steps
-                if steps == 0:
-                    # Entry voxel occupied: keep the slab entry normal
-                    n_l = np.zeros(3, np.float32)
-                    n_l[entry_axis] = -float(step[entry_axis])
-                    hit.normal = vol.local_to_world_vec(n_l)
-                else:
-                    n_l = np.zeros(3, np.float32)
-                    n_l[f_axis] = -float(step[f_axis])
-                    hit.normal = vol.local_to_world_vec(n_l)
-                hit.normal = hit.normal / np.linalg.norm(hit.normal)
+                # Entry-voxel hits keep the slab entry normal (vv.cpp:159)
+                hit.normal = world_normal(entry_axis if steps == 0 else f_axis)
                 return hit
+        elif medium:
+            # Empty brick while inside a medium: exit at the brick entry
+            # plane with material air (vv.cpp:166-175)
+            hit.depth = tmin + t * rbpu
+            hit.material = 0
+            hit.albedo = vol.palette[0].astype(np.float32)
+            hit.steps = steps
+            hit.normal = world_normal(entry_axis if steps == 0 else axis)
+            return hit
+        elif ignore:
+            exited = True
 
         # Amanatides & Woo brick step (vv.cpp:176-202)
         if tmax3[0] < tmax3[1]:
@@ -242,14 +285,23 @@ def intersect_volume(vol: OracleVolume, origin, dirn):
         steps += 1
 
     hit.steps = steps
+    if medium:
+        # Grid exit / step-budget exhaustion inside a medium: exit at the
+        # OBB exit distance with material air, normal from the tmax ladder
+        # (vv.cpp:206-225; exit_t = slab tmax, obb.cpp:82-106)
+        hit.depth = float(tmax)
+        hit.material = 0
+        hit.albedo = vol.palette[0].astype(np.float32)
+        hit.normal = world_normal(_ladder_axis(tmax3))
     return hit
 
 
 def _traverse_brick(vol, bcell, o_l, d_l, rdir, step, entry_t, rbpu, vpu, steps, vsize,
-                    axis=0):
+                    axis=0, medium=0, ignore=0, shadow=False, seed=0,
+                    exited=False):
     """Fine 8^3 DDA inside one brick (vv.cpp:237-369 semantics).
 
-    Returns (dist_from_brick_entry, steps, axis, material_or_None).
+    Returns (dist_from_brick_entry, steps, axis, material_or_None, exited).
     """
     bmin = bcell.astype(np.float32) * rbpu
     entry = (o_l + d_l * entry_t - bmin) * vpu
@@ -265,8 +317,21 @@ def _traverse_brick(vol, bcell, o_l, d_l, rdir, step, entry_t, rbpu, vpu, steps,
             voxel = int(vol.grid[vc[2], vc[1], vc[0]])
         else:
             voxel = 0  # padding region of a non-multiple-of-8 grid
-        if voxel != 0:
-            return t / vpu, steps, axis, voxel
+        if medium:
+            # Interior exit: first voxel differing from the medium
+            # (vv.cpp:297-310); material may be 0 = air
+            if voxel != medium:
+                return t / vpu, steps, axis, voxel, exited
+        elif voxel != 0:
+            if shadow:
+                # ids > 16 occlude; glass/mirror occlude with p = 0.15
+                # (vv.cpp:314-327)
+                if voxel > 16 or hash_shadow(seed, vc[0], vc[1], vc[2]) > 0.85:
+                    return t / vpu, steps, axis, voxel, exited
+            elif exited or voxel != ignore:
+                return t / vpu, steps, axis, voxel, exited
+        elif ignore:
+            exited = True
 
         if tmax3[0] < tmax3[1]:
             if tmax3[0] < tmax3[2]:
@@ -296,14 +361,14 @@ def _traverse_brick(vol, bcell, o_l, d_l, rdir, step, entry_t, rbpu, vpu, steps,
                 tmax3[2] += delta[2]
         steps += 1
 
-    return float(BIG_F32), steps, axis, None
+    return float(BIG_F32), steps, axis, None, exited
 
 
-def intersect_scene(volumes, origin, dirn):
+def intersect_scene(volumes, origin, dirn, **flags):
     """Nearest-hit composition across volumes (Scene::intersect analog)."""
     best = OracleHit()
     for vol in volumes:
-        h = intersect_volume(vol, origin, dirn)
+        h = intersect_volume(vol, origin, dirn, **flags)
         if h.depth < best.depth:
             best = h
     return best

@@ -124,6 +124,7 @@ def _trace_fast(data: VolumeData, occ, words, origins, dirs, bsize, vpu,
         normal=jnp.where(hit[:, None], normal, 0.0),
         albedo=jnp.where(hit[:, None], albedo, 0.0),
         steps=steps,
+        obj=jnp.where(hit, 0, -1),
     )
 
 

@@ -9,6 +9,7 @@ updates throughput/irradiance with `where` selects.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from voxel_tracer_tpu.models.scene import SceneData
@@ -27,8 +28,11 @@ def hit_point(origins, dirs, t, normal):
     return origins + dirs * t[:, None] + normal * 1e-4
 
 
-def sun_light(scene: SceneData, p, n, jitter3=None, max_candidates=4):
-    """Sun contribution with shadow ray (materials.cpp:226-244)."""
+def sun_light(scene: SceneData, p, n, jitter3=None, max_candidates=4,
+              shadow_seed=None):
+    """Sun contribution with shadow ray (materials.cpp:226-244).  With
+    ``shadow_seed`` the shadow ray uses stochastic glass/mirror
+    pass-through (vv.cpp:314-327)."""
     sun_dir = scene.sun_dir
     if jitter3 is not None:
         intensity = 6.0 / 16.0
@@ -38,7 +42,7 @@ def sun_light(scene: SceneData, p, n, jitter3=None, max_candidates=4):
     incidence = dot(n, sun_dir)
     lit = incidence > 0.0
     occluded, shadow_hit = composite.is_occluded(
-        scene, p, sun_dir, BIG_F32, max_candidates)
+        scene, p, sun_dir, BIG_F32, max_candidates, shadow_seed=shadow_seed)
     vis = lit & ~occluded
     return jnp.where(vis[:, None], scene.sun_light * incidence[:, None], 0.0)
 
@@ -66,18 +70,21 @@ def cos_diffuse_reflect(n, r1, r2):
     return normalize(xs[..., None] * x + ys[..., None] * n + zs[..., None] * z)
 
 
-def ambient_light(scene: SceneData, p, n, r2pair, max_candidates=4):
+def ambient_light(scene: SceneData, p, n, r2pair, max_candidates=4,
+                  shadow_seed=None):
     """Ambient sky term: cosine-weighted ray, occlusion within 1 unit,
     sky sample / pdf, clamped (materials.cpp:249-269)."""
     amb_dir = cos_diffuse_reflect(n, r2pair[..., 0], r2pair[..., 1])
-    occluded, _ = composite.is_occluded(scene, p, amb_dir, 1.0, max_candidates)
+    occluded, _ = composite.is_occluded(scene, p, amb_dir, 1.0, max_candidates,
+                                        shadow_seed=shadow_seed)
     pdf = jnp.maximum(dot(amb_dir, n) * INVPI, 1e-6)
     sky = sample_sky(scene.sky, amb_dir) * 0.25
     contrib = clamp_color(sky / pdf[:, None], 8.0)
     return jnp.where(occluded[:, None], 0.0, contrib)
 
 
-def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4):
+def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
+                  shadow_seed=None):
     """Monte-Carlo spherical area lights (sphere-light.cpp:8-37)."""
     lights = scene.lights
     num = lights.origin.shape[0]
@@ -96,7 +103,7 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4):
         facing = incidence > 0.0
         occluded, _ = composite.is_occluded(
             scene, sample_point[None, :] * jnp.ones_like(p), -sdir,
-            dist - 0.01, max_candidates)
+            dist - 0.01, max_candidates, shadow_seed=shadow_seed)
         pdf = FOURPI * diameter
         intensity = lights.power[li] / (FOURPI * jnp.maximum(dist_sqr, 1e-12))
         contrib = lights.color[li] * (intensity * incidence * pdf)[:, None]
@@ -105,13 +112,19 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4):
     return total
 
 
-def diffuse_irradiance(scene, p, n, noise3, noise2, config):
+def diffuse_irradiance(scene, p, n, noise3, noise2, config, shadow_seed=None):
     """Sphere lights + sun + ambient (materials.cpp:194-221)."""
     irr = jnp.zeros_like(p)
+    salt = None if shadow_seed is None else shadow_seed
     if scene.lights.origin.shape[0] > 0:
-        irr = irr + sphere_lights(scene, p, n, noise3, config.max_candidates)
-    irr = irr + sun_light(scene, p, n, noise3, config.max_candidates)
-    irr = irr + ambient_light(scene, p, n, noise2, config.max_candidates)
+        irr = irr + sphere_lights(scene, p, n, noise3, config.max_candidates,
+                                  shadow_seed=salt)
+    irr = irr + sun_light(scene, p, n, noise3, config.max_candidates,
+                          shadow_seed=None if salt is None
+                          else salt ^ jnp.uint32(0xA511E9B3))
+    irr = irr + ambient_light(scene, p, n, noise2, config.max_candidates,
+                              shadow_seed=None if salt is None
+                              else salt ^ jnp.uint32(0x63D83595))
     return irr
 
 
@@ -154,27 +167,124 @@ def material_row(mat):
     return jnp.floor((mat.astype(jnp.float32) - 1.0) / 8.0).astype(jnp.int32)
 
 
+def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config):
+    """Glass evaluation: bounded internal-reflection loop with Beer
+    absorption and Fresnel splits (materials.cpp:119-189 semantics).
+
+    Per iteration: march the interior to the exit (medium-aware DDA,
+    vv.cpp:166-232), accumulate Beer's law over the total interior length,
+    compute the Schlick reflect/refract split, and either (a) emit a
+    refracted "scan" ray or (b) reflect internally and continue.  The FIRST
+    emitted scan ray becomes the wavefront continuation (the reference
+    recurses `eval_material` on every scan ray; a wavefront has one ray slot,
+    so later scans are evaluated terminally here: sky on miss, albedo x
+    (shadowless sun Lambert + ambient) on hit — a documented approximation
+    of the recursive tail, whose weight decays as `mul *= reflect_mul`).
+
+    Returns (cont_o, cont_d, cont_w, emitted, alb_acc, irr_acc):
+    the continuation ray + weight (applied to BOTH albedo and irradiance
+    throughput — the reference scales `eval.albedo` and `eval.irradiance`
+    by the same factor and the final color is their product), and the
+    terminal accumulations from internal reflections past the first exit.
+    """
+    n = cur_o.shape[0]
+    p = hit_point(cur_o, cur_d, cur_hit.t, cur_hit.normal)
+    entry_dir = refract(cur_hit.normal, cur_d, 1.0 / 1.5)
+    # Nudge into the medium so the first tested voxel is the glass itself.
+    # (The reference starts the interior ray at `ray.intersection(hit)` —
+    # 1e-4 OUTSIDE the surface, materials.cpp:126 — which only works when
+    # the glass face coincides with the volume's OBB boundary; the forward
+    # nudge also supports glass surfaces interior to the grid.)
+    i_o = p + entry_dir * 1e-3
+    i_d = entry_dir
+    g_medium = jnp.where(is_glass, cur_hit.mat, 0)
+    absorption = -(1.0 - cur_hit.albedo)          # materials.cpp:130
+    mul = jnp.ones((n,), jnp.float32)
+    absorb_t = jnp.zeros((n,), jnp.float32)
+    g_live = is_glass
+    emitted = jnp.zeros((n,), bool)
+    cont_o, cont_d = p, cur_d
+    cont_w = jnp.ones((n, 3), jnp.float32)
+    alb_acc = jnp.zeros((n, 3), jnp.float32)
+    irr_acc = jnp.zeros((n, 3), jnp.float32)
+
+    for i in range(config.glass_reflections):
+        i_hit = composite.march_interior(
+            scene, cur_hit.obj, i_o, i_d, g_medium, config.max_steps)
+        exit_p = i_o + i_d * i_hit.t[:, None]
+        absorb_t = absorb_t + jnp.where(g_live, i_hit.t, 0.0)
+        absorb = jnp.exp(absorption * 2.0 * absorb_t[:, None])
+        refl = fresnel_reflect_prob(1.5, 1.0, i_d, i_hit.normal)
+        refr = 1.0 - refl
+        do_refract = refr >= 0.2                   # materials.cpp:148
+        scan_d = refract(i_hit.normal, i_d, 1.5)
+        scan_o = exit_p + i_hit.normal * 1e-4      # materials.cpp:159
+        w = absorb * (refr * mul)[:, None]
+
+        first = g_live & do_refract & ~emitted
+        cont_o = jnp.where(first[:, None], scan_o, cont_o)
+        cont_d = jnp.where(first[:, None], scan_d, cont_d)
+        cont_w = jnp.where(first[:, None], w, cont_w)
+        emitted = emitted | first
+
+        if i > 0:
+            later = g_live & do_refract & ~first
+            s_hit = composite.intersect_scene(
+                scene, scan_o, scan_d, config.max_candidates,
+                config.max_steps, ignore=g_medium)
+            s_miss = s_hit.t >= BIG_F32
+            s_sky = sample_sky(scene.sky, scan_d)
+            s_sun = jnp.maximum(dot(s_hit.normal, scene.sun_dir), 0.0)
+            s_unlit = (material_row(s_hit.mat) == 15) | (s_hit.mat == 255)
+            approx_irr = jnp.where(
+                s_unlit[:, None], 1.0,
+                scene.sun_light * s_sun[:, None] + config.ambient)
+            t_alb = jnp.where(s_miss[:, None], s_sky, s_hit.albedo)
+            t_irr = jnp.where(s_miss[:, None], 1.0, approx_irr)
+            alb_acc = alb_acc + jnp.where(later[:, None], t_alb * w, 0.0)
+            irr_acc = irr_acc + jnp.where(later[:, None], t_irr * w, 0.0)
+
+        # Stop after a scan unless both split weights stay significant
+        # (materials.cpp:163-181); TIR-ish rays (refr < 0.2) reflect
+        # internally and continue without touching `mul`.
+        stop = do_refract & ((refl < 0.2) | (mul < 0.1))
+        mul = jnp.where(g_live & do_refract, mul * refl, mul)
+        g_live = g_live & ~stop
+        int_d = reflect(i_d, i_hit.normal)
+        i_o = jnp.where(g_live[:, None], exit_p + int_d * 1e-3, i_o)
+        i_d = jnp.where(g_live[:, None], int_d, i_d)
+
+    return cont_o, cont_d, cont_w, emitted, alb_acc, irr_acc
+
+
 def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
     """Full Whitted-style wavefront shading (materials.cpp:15-48 analog).
 
     The recursive mirror/glass evaluation is restructured as a bounded loop:
-    each bounce intersects the wavefront once; mirror rays multiply
-    throughput by albedo and continue (materials.cpp:95-114); glass rays
-    refract in, march to the exit with Beer absorption, then refract out
-    (single refraction chain — the reference's <= 8 internal-reflection
-    tree, materials.cpp:119-189, is collapsed to its dominant path with the
-    Fresnel split applied as throughput).  Diffuse rays terminate with
-    sphere-light + sun + ambient irradiance.
+    each bounce intersects the wavefront once; mirror rays multiply the
+    albedo throughput and continue (materials.cpp:95-114); glass rays run
+    the internal-reflection sub-loop (`eval_glass_wavefront`) and continue
+    along their first refracted exit with the Beer/Fresnel weight applied
+    to BOTH throughputs (MatEval accumulates albedo and irradiance
+    separately and the final color is their product).  Diffuse rays
+    terminate with sphere-light + sun + ambient irradiance; shadow rays use
+    the stochastic glass pass-through (vv.cpp:314-327) seeded per
+    (ray, frame, bounce).  The glass sub-loop runs under `lax.cond` so
+    scenes without glass pixels skip its cost at runtime.
     """
     from voxel_tracer_tpu.ops.noise import sampler_3d, sampler_2d
 
     n = origins.shape[0]
     noise3 = sampler_3d(n, frame)
     noise2 = sampler_2d(n, frame)
+    ray_seed = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.asarray(frame).astype(jnp.uint32)
+                * jnp.uint32(2654435761))
 
     albedo_out = jnp.zeros((n, 3), jnp.float32)
     irr_out = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
+    thr_a = jnp.ones((n, 3), jnp.float32)   # albedo-side throughput
+    thr_i = jnp.ones((n, 3), jnp.float32)   # irradiance-side throughput
     cur_o, cur_d = origins, dirs
     cur_hit = hit
     live = hit.t < BIG_F32
@@ -182,79 +292,77 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
     for bounce in range(config.max_bounces):
         row = material_row(cur_hit.mat)
         is_unlit = (row == 15) | (cur_hit.mat == 255)
-        is_glass = (row == 0) & ~is_unlit
-        is_mirror = (row == 1) & ~is_unlit
+        is_glass = live & (row == 0) & ~is_unlit
+        is_mirror = live & (row == 1) & ~is_unlit
         is_diffuse = live & ~(is_glass | is_mirror | is_unlit)
 
         p = hit_point(cur_o, cur_d, cur_hit.t, cur_hit.normal)
 
         # --- diffuse terminate ---------------------------------------------
-        diff_mask = is_diffuse
-        irr = diffuse_irradiance(scene, p, cur_hit.normal, noise3, noise2, config)
-        albedo_out = jnp.where(diff_mask[:, None] & live[:, None],
-                               throughput * cur_hit.albedo, albedo_out)
-        irr_out = jnp.where(diff_mask[:, None] & live[:, None], irr, irr_out)
+        bounce_seed = ray_seed ^ jnp.uint32((0x85EBCA77 * (bounce + 1))
+                                            & 0xFFFFFFFF)
+        irr = diffuse_irradiance(scene, p, cur_hit.normal, noise3, noise2,
+                                 config, shadow_seed=bounce_seed)
+        albedo_out = albedo_out + jnp.where(
+            is_diffuse[:, None], thr_a * cur_hit.albedo, 0.0)
+        irr_out = irr_out + jnp.where(is_diffuse[:, None], thr_i * irr, 0.0)
 
         # --- unlit terminate (laser/unlit rows, materials.cpp:23-27,39-42) -
         unlit_mask = live & is_unlit
-        albedo_out = jnp.where(unlit_mask[:, None],
-                               throughput * cur_hit.albedo, albedo_out)
-        irr_out = jnp.where(unlit_mask[:, None], 1.0, irr_out)
+        albedo_out = albedo_out + jnp.where(
+            unlit_mask[:, None], thr_a * cur_hit.albedo, 0.0)
+        irr_out = irr_out + jnp.where(unlit_mask[:, None], thr_i, 0.0)
 
-        live = live & (is_mirror | is_glass)
+        live = is_mirror | is_glass
         if bounce == config.max_bounces - 1:
             break
 
-        # --- mirror bounce --------------------------------------------------
+        # --- mirror bounce (materials.cpp:95-114) ---------------------------
         mir_d = reflect(cur_d, cur_hit.normal)
 
-        # --- glass: refract in, march to exit, refract out ------------------
-        eta_in = 1.0 / 1.5
-        g_in_d = refract(cur_hit.normal, cur_d, eta_in)
-        glass_albedo = cur_hit.albedo
+        # --- glass sub-loop, skipped at runtime when no glass pixel exists --
+        def _glass(args):
+            o, d, h_t, h_normal, h_mat, h_albedo, h_obj, g_mask = args
+            ghit = composite.HitResult(
+                t=h_t, mat=h_mat, normal=h_normal, albedo=h_albedo,
+                steps=jnp.zeros_like(h_mat), obj=h_obj)
+            return eval_glass_wavefront(scene, o, d, ghit, g_mask, config)
 
-        next_d = jnp.where(is_glass[:, None], g_in_d, mir_d)
-        next_o = jnp.where(is_glass[:, None],
-                           cur_o + cur_d * cur_hit.t[:, None] + g_in_d * 1e-4,
-                           p)
-        thr_mul = jnp.where(live[:, None], cur_hit.albedo, 1.0)
+        def _no_glass(args):
+            o, d, h_t, h_normal, h_mat, h_albedo, h_obj, g_mask = args
+            return (o, d, jnp.ones((n, 3), jnp.float32),
+                    jnp.zeros((n,), bool),
+                    jnp.zeros((n, 3), jnp.float32),
+                    jnp.zeros((n, 3), jnp.float32))
 
-        # glass interior march: find exit = distance traveled inside medium.
-        # We trace from just-inside along the refracted dir; first exit from
-        # the same material defines the path length for Beer's law.
-        exit_hit = composite.intersect_scene(
-            scene, next_o, next_d, config.max_candidates, config.max_steps)
-        inside_t = jnp.where(is_glass, jnp.minimum(exit_hit.t, 10.0), 0.0)
-        absorption = -(1.0 - glass_albedo)  # materials.cpp:130
-        absorb = jnp.exp(absorption * 2.0 * inside_t[:, None])
+        cont_o, cont_d, cont_w, emitted, g_alb, g_irr = jax.lax.cond(
+            jnp.any(is_glass), _glass, _no_glass,
+            (cur_o, cur_d, cur_hit.t, cur_hit.normal, cur_hit.mat,
+             cur_hit.albedo, cur_hit.obj, is_glass))
 
-        # exit refraction (glass -> air) with Fresnel weight
-        exit_p = next_o + next_d * inside_t[:, None]
-        exit_n = jnp.where(is_glass[:, None], exit_hit.normal, cur_hit.normal)
-        g_out_d = refract(exit_n, next_d, 1.5)
-        tir = jnp.sum(g_out_d * g_out_d, axis=-1) < 0.5   # refract() returned 0
-        refl_prob = fresnel_reflect_prob(1.5, 1.0, next_d, exit_n)
-        g_weight = (1.0 - refl_prob)
+        # terminal contributions from internal reflections past the 1st exit
+        albedo_out = albedo_out + thr_a * g_alb
+        irr_out = irr_out + thr_i * g_irr
 
-        glass_d = jnp.where(tir[:, None], reflect(next_d, exit_n), g_out_d)
-        glass_o = exit_p + exit_n * 1e-4 + glass_d * 1e-4
+        # continuation ray + throughput updates
+        next_o = jnp.where(is_glass[:, None], cont_o, p)
+        next_d = jnp.where(is_glass[:, None], cont_d, mir_d)
+        thr_a = jnp.where(is_mirror[:, None], thr_a * cur_hit.albedo, thr_a)
+        thr_a = jnp.where(is_glass[:, None], thr_a * cont_w, thr_a)
+        thr_i = jnp.where(is_glass[:, None], thr_i * cont_w, thr_i)
+        live = is_mirror | (is_glass & emitted)
 
-        cur_o = jnp.where(is_glass[:, None], glass_o, next_o)
-        cur_d = jnp.where(is_glass[:, None], glass_d, next_d)
-        throughput = jnp.where(
-            live[:, None],
-            throughput * jnp.where(is_glass[:, None],
-                                   absorb * jnp.where(tir[:, None], 1.0, g_weight[:, None]),
-                                   thr_mul),
-            throughput)
-
-        # next intersection for surviving rays
+        # scan rays ignore their own medium until they see air
+        ign = jnp.where(is_glass, cur_hit.mat, 0)
+        cur_o, cur_d = next_o, next_d
         cur_hit = composite.intersect_scene(
-            scene, cur_o, cur_d, config.max_candidates, config.max_steps)
+            scene, cur_o, cur_d, config.max_candidates, config.max_steps,
+            ignore=ign)
         sky = sample_sky(scene.sky, cur_d)
         missed = cur_hit.t >= BIG_F32
-        albedo_out = jnp.where((live & missed)[:, None], throughput * sky, albedo_out)
-        irr_out = jnp.where((live & missed)[:, None], 1.0, irr_out)
+        albedo_out = albedo_out + jnp.where(
+            (live & missed)[:, None], thr_a * sky, 0.0)
+        irr_out = irr_out + jnp.where((live & missed)[:, None], thr_i, 0.0)
         live = live & ~missed
 
     return albedo_out, irr_out

@@ -73,7 +73,7 @@ def make_sharded_trace(mesh: Mesh, config: RenderConfig):
         in_specs=(P(), P(RAYS), P(RAYS)),
         out_specs=composite.HitResult(
             t=P(RAYS), mat=P(RAYS), normal=P(RAYS), albedo=P(RAYS),
-            steps=P(RAYS)),
+            steps=P(RAYS), obj=P(RAYS)),
         check_rep=False,
     )
     def trace_shard(scene, o, d):

@@ -33,6 +33,9 @@ class RenderConfig:
     max_steps: int = 256         # vv.cpp:7 MAX_STEPS
     max_candidates: int = 4      # per-ray candidate objects (BVH front size)
     max_bounces: int = 8         # materials.cpp:16 recursion cap
+    glass_reflections: int = 4   # glass internal-reflection cap (reference
+                                 # MAX_REFLECTIONS = 8, materials.cpp:128;
+                                 # 4 covers the dominant paths at half cost)
     tonemapper: str = "aces"     # aces | reinhard | uncharted2 | none
     ambient: float = 0.2         # flat ambient for lambert mode
     accumulate: bool = False     # temporal reprojection (renderer.cpp:273)
@@ -43,11 +46,19 @@ class RenderConfig:
 
 
 class Renderer:
-    """Owns config; `render` is jit-compiled per (config, scene structure)."""
+    """Owns config; `render` is jit-compiled per (config, scene structure).
+
+    With ``config.accumulate`` the renderer carries the temporal
+    accumulator + previous-frame view pyramid across `render` calls (the
+    ping-pong accu/prev_frame buffers and `camera.prev_pyramid` of the
+    reference, renderer.cpp:240-244, camera.cpp:3-16) and blends 95%
+    history with depth rejection (renderer.cpp:273-329)."""
 
     def __init__(self, config: RenderConfig = RenderConfig()):
         self.config = config
         self.frame = 0
+        self._accu = None          # (H, W, 4) irradiance + depth history
+        self._prev_planes = None   # (4, 4) previous-frame pyramid planes
         self._render = jax.jit(
             functools.partial(_render_impl, config=config),
             static_argnames=(),
@@ -56,22 +67,49 @@ class Renderer:
     def camera(self, pos, target) -> Camera:
         return Camera.create(pos, target, self.config.aspect)
 
-    def render(self, scene: SceneData, camera: Camera, frame: int | None = None):
+    def reset_history(self):
+        self._accu = None
+        self._prev_planes = None
+
+    def render(self, scene: SceneData, camera: Camera, frame: int | None = None,
+               depth_delta: float = 0.0):
         """Render one frame; returns dict with 'image' (H, W, 3) f32 in [0,1]
-        plus AOVs: albedo, irradiance, depth, normal, steps."""
+        plus AOVs: albedo, irradiance, depth, normal, steps.
+
+        depth_delta: camera forward motion since the previous frame
+        (player.cpp:7-53 output), compensates the depth rejection."""
         if frame is None:
             frame = self.frame
             self.frame = (self.frame + 1) % 120  # renderer.cpp:161-162
-        return self._render(scene, camera, jnp.int32(frame))
+        if not self.config.accumulate:
+            return self._render(scene, camera, jnp.int32(frame), None, None,
+                                jnp.float32(0.0))
+        if self._accu is None:
+            # depth = BIG so frame 0 rejects all history
+            h, w = self.config.height, self.config.width
+            self._accu = jnp.concatenate(
+                [jnp.zeros((h, w, 3), jnp.float32),
+                 jnp.full((h, w, 1), BIG_F32, jnp.float32)], axis=-1)
+            self._prev_planes = camera.planes
+        out = self._render(scene, camera, jnp.int32(frame), self._accu,
+                           self._prev_planes, jnp.float32(depth_delta))
+        self._accu = out["accu"]
+        self._prev_planes = camera.planes  # Camera::tick prev_pyramid save
+        return out
 
 
-def _render_impl(scene: SceneData, camera: Camera, frame, *, config: RenderConfig):
+def _render_impl(scene: SceneData, camera: Camera, frame, prev_accu=None,
+                 prev_planes=None, depth_delta=0.0, *, config: RenderConfig):
     w, h = config.width, config.height
     origins, dirs = rays_for_image(camera, w, h)
-    return render_rays(scene, origins, dirs, frame, config=config)
+    return render_rays(scene, origins, dirs, frame, config=config,
+                       prev_accu=prev_accu, prev_planes=prev_planes,
+                       depth_delta=depth_delta)
 
 
-def render_rays(scene: SceneData, origins, dirs, frame, *, config: RenderConfig):
+def render_rays(scene: SceneData, origins, dirs, frame, *,
+                config: RenderConfig, prev_accu=None, prev_planes=None,
+                depth_delta=0.0):
     """Render a pre-generated ray wavefront (ray-gen split out so callers —
     e.g. parallel/sharding.py — can place sharding constraints on the rays)."""
     w, h = config.width, config.height
@@ -95,6 +133,17 @@ def render_rays(scene: SceneData, origins, dirs, frame, *, config: RenderConfig)
         albedo = jnp.where(missed[:, None], sky, albedo)
 
     irradiance = jnp.where(missed[:, None], 1.0, jnp.maximum(irradiance, 0.0))
+
+    out = {}
+    if config.accumulate and prev_accu is not None:
+        # Temporal reprojection of IRRADIANCE (renderer.cpp:205-221: albedo
+        # stays crisp, the noisy lighting term is history-blended).
+        from voxel_tracer_tpu.ops.reproject import reproject_accumulate
+        hit_points = origins + dirs * hit.t[:, None]
+        irradiance, new_accu = reproject_accumulate(
+            irradiance, hit.t, hit_points, prev_accu, prev_planes, w, h,
+            depth_delta=depth_delta, reproject_mask=~missed)
+        out["accu"] = new_accu
     color = albedo * irradiance
 
     tm = {"aces": tonemap.aces_approx, "reinhard": tonemap.reinhard,
@@ -102,7 +151,7 @@ def render_rays(scene: SceneData, origins, dirs, frame, *, config: RenderConfig)
     image = tm(color)
 
     shp = (h, w)
-    return dict(
+    out.update(
         image=image.reshape(h, w, 3),
         albedo=albedo.reshape(h, w, 3),
         irradiance=irradiance.reshape(h, w, 3),
@@ -112,3 +161,4 @@ def render_rays(scene: SceneData, origins, dirs, frame, *, config: RenderConfig)
         steps=hit.steps.reshape(shp),
         material=hit.mat.reshape(shp),
     )
+    return out
