@@ -32,12 +32,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# megakernel tuning for the bench workload (see mega.py docstring);
-# 128x64-px tiles measured fastest on v5e (sweep: 64x64px 387 Mrays/s,
-# 128x64px 415 Mrays/s at 32 frames/dispatch)
-TILE_ROWS = 64
+# megakernel tuning for the bench workload (see mega.py docstring):
+# 16^3 super-brick traversal (pack_mega16 — one VMEM word row per brick,
+# half the slices, quarter the rect footprints; swept +28% over the 8^3
+# kernel) with 128x136-px tiles (v5e sweep: 64x128 rows 729/727 Mrays/s,
+# 136 rows 748 Mrays/s at 128 frames/dispatch)
+TILE_ROWS = 136
 TILE_W = 128
 FINE_UNROLL = 6
+FINE_ITERS = 48
 FRAMES_PER_DISPATCH = 128
 
 
@@ -63,10 +66,10 @@ def main():
                             jnp.zeros(3), width / height)
         cam_p = mega.mega_camera(mv, cam, sun, width, height)
         rgba, t, aux = mega.render_mega_tiles(
-            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
-            bsize=tb.bsize, vpu=tb.vpu, width=width, height=height,
+            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+            tb.matw, mv.pal, width=width, height=height,
             tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=FINE_UNROLL,
-            track_steps=False)
+            fine_iters=FINE_ITERS, track_steps=False, **mv.brick16_kw())
         return rgba
 
     @jax.jit

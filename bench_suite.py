@@ -1,0 +1,288 @@
+"""Benchmark suite: all five BASELINE.json configs, one JSON line each.
+
+`bench.py` remains the single-line headline metric (flat primary rays/s at
+1080p); this suite covers the rest of the BASELINE table:
+
+  1. flat_256_dense64      dense 64^3 @ 256^2 primary-only
+  2. diff_lambert_512      512^2 differentiable render: forward Mrays/s and
+                           backward (value_and_grad) Mrays/s
+  3. vox_brickmap_720p     .vox two-level brickmap scene (crate-16) @ 720p
+  4. multiobj_shadow_1080p 512-crate profiling scene (dev/profile.h analog)
+                           with sun shadow rays @ 1080p
+  5. inverse_128_32views   inverse rendering of a 128^3 grid from 32 posed
+                           views: optax train step/s on one chip
+
+Results are also written to BENCH_SUITE.json.  Frame configs run a
+multi-frame `lax.scan` loop per dispatch so the axon tunnel's ~60 ms
+per-dispatch round trip (a harness artifact) is amortized, matching
+bench.py's methodology.
+"""
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def _timeit(fn, sync, rounds=3):
+    out = fn(); sync(out)
+    best = 1e9
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = fn(); sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_flat_256():
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.models.camera import Camera
+    from voxel_tracer_tpu.models.volume import VoxelVolume
+    from voxel_tracer_tpu.ops.pallas import mega
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    W = H = 256
+    FRAMES = 256
+    vol = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
+    mv = mega.MegaVolume(vol)
+    tb = mv.tables
+    sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
+
+    def frame(theta):
+        px = 2.0 * jnp.cos(theta) + 2.4 * jnp.sin(theta)
+        pz = -2.4 * jnp.cos(theta) + 2.0 * jnp.sin(theta)
+        cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.4), pz]),
+                            jnp.zeros(3), W / H)
+        cam_p = mega.mega_camera(mv, cam, sun, W, H)
+        rgba, _, _ = mega.render_mega_tiles(
+            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
+            bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
+            tile_rows=16, tile_w=64, fine_unroll=6, track_steps=False)
+        return rgba
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            rgba = frame(c * 0.01)
+            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+        return c
+
+    dt = _timeit(run, _force_sync) / FRAMES
+    return {"metric": "flat_256_dense64", "value": round(W * H / dt),
+            "unit": "rays/s"}
+
+
+def bench_diff_lambert_512():
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.ops import diff
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    N = 512 * 512
+    G = 64
+    MAX_STEPS = 128
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    sigma = jax.random.uniform(k1, (G, G, G)) * 2.0
+    albedo = jax.random.uniform(k2, (G, G, G, 3))
+    # rays through the grid from a plane in front (local space)
+    u = jax.random.uniform(k3, (N, 2)) * (G / 20.0)
+    o_l = jnp.stack([u[:, 0], u[:, 1], jnp.full((N,), -0.5)], axis=1)
+    d0 = jnp.array([0.15, 0.1, 1.0]); d0 = d0 / jnp.linalg.norm(d0)
+    d_l = jnp.broadcast_to(d0, (N, 3))
+    target = jnp.zeros((N, 3))
+
+    @jax.jit
+    def fwd(sig, alb):
+        out = diff.render_density(sig, alb, o_l, d_l, 20.0, MAX_STEPS)
+        return out["color"].sum()
+
+    def loss(params):
+        out = diff.render_density(params["s"], params["a"], o_l, d_l, 20.0,
+                                  MAX_STEPS)
+        return jnp.mean((out["color"] - target) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    params = {"s": sigma, "a": albedo}
+
+    sync = lambda x: jax.block_until_ready(x)
+    dt_f = _timeit(lambda: fwd(sigma, albedo), sync)
+    dt_b = _timeit(lambda: grad_fn(params), sync)
+
+    # surface path: palette gradients through the Lambert shading of the
+    # discrete hits (ops/diff_surface.py)
+    from voxel_tracer_tpu.models.camera import Camera, rays_for_image
+    from voxel_tracer_tpu.models.scene import Scene
+    from voxel_tracer_tpu.models.volume import VoxelVolume
+    from voxel_tracer_tpu.ops.diff_surface import palette_fit_loss
+
+    vol = VoxelVolume.noise_filled((64, 64, 64), vpu=20.0)
+    scene = Scene(volumes=[vol]).data()
+    cam = Camera.create((2.0, 1.4, -2.4), (0, 0, 0), 1.0)
+    o, d = rays_for_image(cam, 512, 512)
+    pal = jnp.full((256, 3), 0.5)
+    tgt = jnp.zeros((N, 3))
+    sgrad = jax.jit(jax.grad(
+        lambda p: palette_fit_loss(p, scene, o, d, tgt)))
+    dt_s = _timeit(lambda: sgrad(pal), sync)
+
+    return {"metric": "diff_lambert_512",
+            "value": round(N / dt_b),
+            "unit": "bwd_rays/s",
+            "fwd_rays_per_s": round(N / dt_f),
+            "surface_palette_bwd_rays_per_s": round(N / dt_s)}
+
+
+def bench_vox_brickmap():
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.models.camera import Camera
+    from voxel_tracer_tpu.models.volume import VoxelVolume
+    from voxel_tracer_tpu.ops.pallas import mega
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    W, H = 1280, 768   # 720p-class, tile multiple
+    FRAMES = 64
+    vol = VoxelVolume.from_vox("/root/reference/assets/vox/crate-16.vox")
+    mv = mega.MegaVolume(vol)
+    tb = mv.tables
+    sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
+
+    def frame(theta):
+        px = 1.6 * jnp.cos(theta)
+        pz = -1.6 * jnp.cos(theta) + 1.2 * jnp.sin(theta)
+        cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.1), pz]),
+                            jnp.zeros(3), W / H)
+        cam_p = mega.mega_camera(mv, cam, sun, W, H)
+        rgba, _, _ = mega.render_mega_tiles(
+            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
+            bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
+            tile_rows=32, tile_w=64, fine_unroll=6, track_steps=False)
+        return rgba
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            rgba = frame(c * 0.01)
+            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+        return c
+
+    dt = _timeit(run, _force_sync) / FRAMES
+    return {"metric": "vox_brickmap_720p", "value": round(W * H / dt),
+            "unit": "rays/s"}
+
+
+def bench_multiobj_shadow():
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.ops.pallas import mega
+    from voxel_tracer_tpu.utils.profiling import (profiling_camera,
+                                                  profiling_scene_merged)
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    W, H = 1920, 1088
+    FRAMES = 16
+    merged = profiling_scene_merged()      # 512 crates -> one 256^3-ish grid
+    mv = mega.MegaVolume(merged)
+    cam = profiling_camera(W / H)
+
+    def frame(_):
+        out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=32,
+                                       tile_w=64, fine_unroll=6,
+                                       track_steps=False)
+        return out["image"]
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            img = frame(i)
+            return c + 1.0 + img[0, 0, 0].astype(jnp.float32) * 1e-38, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+        return c
+
+    dt = _timeit(run, _force_sync, rounds=2) / FRAMES
+    # primary + sun shadow ray per pixel
+    return {"metric": "multiobj_shadow_1080p",
+            "value": round(2 * W * H / dt), "unit": "rays/s",
+            "frames_per_s": round(1.0 / dt, 2)}
+
+
+def bench_inverse_128():
+    import jax, jax.numpy as jnp
+    import optax
+    from voxel_tracer_tpu.ops import diff
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    G = 128
+    VIEWS = 32
+    RAYS_PER_VIEW = 64 * 64
+    MAX_STEPS = 192
+    N = VIEWS * RAYS_PER_VIEW
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    # posed views: ray bundles from 32 camera positions on a ring (local)
+    th = jnp.arange(VIEWS) * (2 * np.pi / VIEWS)
+    centers = jnp.stack([G / 40.0 + (G / 13.0) * jnp.cos(th),
+                         jnp.full((VIEWS,), G / 40.0),
+                         G / 40.0 + (G / 13.0) * jnp.sin(th)], axis=1)
+    look = jnp.array([G / 40.0, G / 40.0, G / 40.0])
+    fwd = look - centers
+    fwd = fwd / jnp.linalg.norm(fwd, axis=1, keepdims=True)
+    jitter = jax.random.normal(ks[0], (VIEWS, RAYS_PER_VIEW, 3)) * 0.15
+    d_l = fwd[:, None, :] + jitter
+    d_l = (d_l / jnp.linalg.norm(d_l, axis=-1, keepdims=True)).reshape(N, 3)
+    o_l = jnp.broadcast_to(centers[:, None, :],
+                           (VIEWS, RAYS_PER_VIEW, 3)).reshape(N, 3)
+    target = jax.random.uniform(ks[1], (N, 3))
+
+    params = {"s": jax.random.uniform(ks[2], (G, G, G)),
+              "a": jax.random.uniform(ks[3], (G, G, G, 3))}
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss(p):
+        out = diff.render_density(p["s"], p["a"], o_l, d_l, 20.0, MAX_STEPS)
+        return jnp.mean((out["color"] - target) ** 2)
+
+    @jax.jit
+    def step(p, st):
+        l, g = jax.value_and_grad(loss)(p)
+        up, st = opt.update(g, st, p)
+        return optax.apply_updates(p, up), st, l
+
+    sync = lambda x: jax.block_until_ready(x)
+    params, opt_state, l0 = step(params, opt_state); sync(l0)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, l = step(params, opt_state); sync(l)
+        best = min(best, time.perf_counter() - t0)
+    return {"metric": "inverse_128_32views",
+            "value": round(1.0 / best, 3), "unit": "train_steps/s",
+            "bwd_rays_per_s": round(N / best)}
+
+
+def main():
+    results = []
+    for fn in (bench_flat_256, bench_diff_lambert_512, bench_vox_brickmap,
+               bench_multiobj_shadow, bench_inverse_128):
+        try:
+            r = fn()
+        except Exception as e:  # report, keep going
+            r = {"metric": fn.__name__, "error": str(e)[:300]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    with open(os.path.join(_ROOT, "BENCH_SUITE.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

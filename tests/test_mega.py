@@ -139,6 +139,75 @@ def test_mega_run_traversal_agrees(scene):
     np.testing.assert_array_equal(a["mat"][hit_a], (aux_r & 255)[hit_r])
 
 
+def test_mega_brick16_agrees(scene):
+    """16^3 super-brick traversal (one word row per brick + tile-end
+    material vote) == the 8^3 brick traversal."""
+    _, a = _render(scene, w=64, h=32)
+    mv = mega.MegaVolume(scene)
+    tb = mv.tables
+    cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 64 / 32)
+    cam_p = mega.mega_camera(mv, cam, jnp.asarray([-0.62, 0.47, -0.63]),
+                             64, 32)
+    rgba, t, aux = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
+        mv.pal, width=64, height=32, fine_iters=96, fine_unroll=4,
+        interpret=True, **mv.brick16_kw())
+    n = 64 * 32
+    t_r = np.asarray(mega.untile(t.reshape(n), 32, 64, 32, 32)).reshape(32, 64)
+    aux_r = np.asarray(mega.untile(aux.reshape(n), 32, 64, 32, 32)).reshape(32, 64)
+    hit_a = a["depth"] < 1e30
+    hit_r = t_r < 1e30
+    np.testing.assert_array_equal(hit_a, hit_r)
+    np.testing.assert_allclose(a["depth"][hit_a], t_r[hit_r], atol=1e-5)
+    np.testing.assert_array_equal(a["mat"][hit_a], (aux_r & 255)[hit_r])
+    assert ((aux_r >> mega.AUX_RESOLVED_SHIFT) & 1).mean() > 0.95
+
+
+def test_set_voxel_incremental_equals_repack(scene):
+    """Edit-then-render == repack-then-render for every packed table
+    (occw/wsm/matw/occ/run tables/16^3 tables)."""
+    import copy
+
+    vol_a = VoxelVolume(scene.grid.copy(), scene.palette, pos=scene.pos,
+                        vpu=scene.vpu)
+    vol_b = VoxelVolume(scene.grid.copy(), scene.palette, pos=scene.pos,
+                        vpu=scene.vpu)
+    mv = mega.MegaVolume(vol_a)
+    rng = np.random.RandomState(11)
+    edits = [(int(x), int(y), int(z), int(v))
+             for x, y, z, v in zip(rng.randint(0, 16, 12),
+                                   rng.randint(0, 16, 12),
+                                   rng.randint(0, 16, 12),
+                                   [0, 7, 0, 99, 3, 0, 255, 1, 0, 42, 0, 8])]
+    for x, y, z, v in edits:
+        mv.set_voxel(x, y, z, v)
+        vol_b.set_voxel(x, y, z, v)
+    fresh = mega.MegaVolume(vol_b)
+    np.testing.assert_array_equal(np.asarray(mv.tables.occw),
+                                  np.asarray(fresh.tables.occw))
+    np.testing.assert_array_equal(np.asarray(mv.tables.wsm),
+                                  np.asarray(fresh.tables.wsm))
+    np.testing.assert_array_equal(np.asarray(mv.tables.matw),
+                                  np.asarray(fresh.tables.matw))
+    np.testing.assert_array_equal(np.asarray(mv.tables.occ),
+                                  np.asarray(fresh.tables.occ))
+    np.testing.assert_array_equal(np.asarray(mv.tables.occr),
+                                  np.asarray(fresh.tables.occr))
+    np.testing.assert_array_equal(np.asarray(mv.tables.runw),
+                                  np.asarray(fresh.tables.runw))
+    np.testing.assert_array_equal(np.asarray(mv.occw16),
+                                  np.asarray(fresh.occw16))
+    np.testing.assert_array_equal(np.asarray(mv.occ16),
+                                  np.asarray(fresh.occ16))
+
+    # and the rendered frame matches
+    cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 2.0)
+    out_a = mega.render_mega(mv, cam, 64, 32, interpret=True)
+    out_b = mega.render_mega(fresh, cam, 64, 32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_a["image"]),
+                                  np.asarray(out_b["image"]))
+
+
 def test_trace_rays_matches_oracle(scene):
     """Ray-list kernel (trace_rays) vs oracle on scattered rays."""
     mv = mega.MegaVolume(scene)

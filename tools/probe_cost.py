@@ -31,7 +31,7 @@ W, H, FRAMES = 1920, 1088, 128
 TILE_ROWS, TILE_W, UNROLL = 64, 128, 6
 
 
-def bench(vol, shading="flat"):
+def bench(vol, shading="flat", brick16=False):
     mv = mega.MegaVolume(vol)
     tb = mv.tables
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
@@ -42,11 +42,19 @@ def bench(vol, shading="flat"):
         cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.4), pz]),
                             jnp.zeros(3), W / H)
         cam_p = mega.mega_camera(mv, cam, sun, W, H)
-        rgba, t, aux = mega.render_mega_tiles(
-            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
-            bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
-            tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=UNROLL,
-            track_steps=False, shading=shading)
+        if brick16:
+            rgba, t, aux = mega.render_mega_tiles(
+                cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+                tb.matw, mv.pal, width=W, height=H,
+                tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=UNROLL,
+                fine_iters=48, track_steps=False, shading=shading,
+                **mv.brick16_kw())
+        else:
+            rgba, t, aux = mega.render_mega_tiles(
+                cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
+                bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
+                tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=UNROLL,
+                track_steps=False, shading=shading)
         return rgba, t
 
     @jax.jit
@@ -69,6 +77,7 @@ def bench(vol, shading="flat"):
 
 
 def main():
+    b16 = "--brick16" in sys.argv
     noise = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
     empty = VoxelVolume(np.zeros((64, 64, 64), np.uint8), vpu=20.0)
     solid = VoxelVolume(np.full((64, 64, 64), 16, np.uint8), vpu=20.0)
@@ -76,8 +85,9 @@ def main():
                           ("solid", solid, "flat"),
                           ("noise", noise, "flat"),
                           ("trace", noise, "trace")):
-        dt = bench(vol, sh)
-        print(json.dumps({"probe": name, "ms_per_frame": round(dt * 1e3, 3),
+        dt = bench(vol, sh, brick16=b16)
+        print(json.dumps({"probe": name, "brick16": b16,
+                          "ms_per_frame": round(dt * 1e3, 3),
                           "mrays": round(W * H / dt / 1e6, 1)}), flush=True)
 
 

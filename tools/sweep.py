@@ -40,6 +40,12 @@ DEFAULT_CONFIGS = {
         dict(tile_rows=32, tile_w=64, fine_unroll=8),
         dict(tile_rows=32, tile_w=64, fine_unroll=6, slice_depth=2),
     ],
+    "mega16": [
+        dict(tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48),
+        dict(tile_rows=64, tile_w=128, fine_unroll=8, fine_iters=48),
+        dict(tile_rows=32, tile_w=64, fine_unroll=6, fine_iters=48),
+        dict(tile_rows=64, tile_w=128, fine_unroll=12, fine_iters=48),
+    ],
     "indep": [
         dict(tile_rows=8, tile_w=32, fine_unroll=6),
         dict(tile_rows=16, tile_w=32, fine_unroll=6),
@@ -56,7 +62,7 @@ DEFAULT_CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("kernel", choices=("mega", "indep", "lit"))
+    ap.add_argument("kernel", choices=("mega", "mega16", "indep", "lit"))
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=32)
@@ -87,6 +93,11 @@ def main():
                 cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
                 bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
                 track_steps=False, **kw)
+        elif args.kernel == "mega16":
+            rgba, _, _ = mega.render_mega_tiles(
+                cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+                tb.matw, mv.pal, width=W, height=H,
+                track_steps=False, **mv.brick16_kw(), **kw)
         else:
             rgba, _, _ = indep.render_indep_tiles(
                 cam_p, occb, tb.occw, tb.matw, mv.pal,

@@ -146,6 +146,108 @@ def pack_mega(grid: np.ndarray, vpu: float) -> MegaTables:
     )
 
 
+def pack_mega16(grid: np.ndarray):
+    """16^3 super-brick tables: occupancy scalar + ONE (128,) word row per
+    brick (4096 bits = exactly 128 i32 words — a perfect lane-gather fit).
+
+    Halves the slice count and quarters the rect footprints of the brick
+    traversal (measured: the per-window/per-brick skeleton dominates the
+    dense-scene frame).  Bit index inside a brick: z*256 + y*16 + x.
+    Materials keep the 8^3 `matw` table and resolve in a tile-end vote.
+    """
+    gz, gy, gx = grid.shape
+    bx, by, bz = (gx + 15) // 16, (gy + 15) // 16, (gz + 15) // 16
+    nb = bx * by * bz
+    pad = np.zeros((bz * 16, by * 16, bx * 16), np.uint8)
+    pad[:gz, :gy, :gx] = grid
+    b = pad.reshape(bz, 16, by, 16, bx, 16).transpose(0, 2, 4, 1, 3, 5)
+    bits_ = (b.reshape(nb, 4096) != 0).astype(np.uint32)
+    w = bits_.reshape(nb, 128, 32)
+    shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+    occw = (w * shifts[None, None, :]).sum(axis=2,
+                                           dtype=np.uint64).astype(np.uint32)
+    occ = bits_.any(axis=1).astype(np.int32).reshape(1, nb)
+    return (jnp.asarray(occ), jnp.asarray(occw.view(np.int32)), (bx, by, bz))
+
+
+def set_voxel_tables(tb: MegaTables, x, y, z, val):
+    """O(1) incremental single-voxel edit on the packed kernel tables.
+
+    The jit-friendly analog of the reference's in-place `set_voxel`
+    (vv.cpp:377-432): instead of repacking the whole grid host-side
+    (`pack_mega`, O(N)), scatter-update the one occupancy word, material
+    word, and 3 run-table words the voxel touches, and refresh the
+    affected occupancy flags from the updated words.  x/y/z/val may be
+    traced values — laser carving can run inside a jitted frame loop.
+    """
+    BXb, BYb, BZb = tb.bsize
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    val = jnp.asarray(val, jnp.int32)
+    solid = val != 0
+    bx, by, bz = x >> 3, y >> 3, z >> 3
+    bidx = (bz * BYb + by) * BXb + bx
+    bit = ((z & 7) << 6) | ((y & 7) << 3) | (x & 7)
+    bitset = jnp.left_shift(jnp.int32(1), bit & 31)
+
+    # occupancy word (occw: 8 bricks x 16 words per row)
+    r, l = bidx >> 3, (bidx & 7) * 16 + (bit >> 5)
+    word2 = jnp.where(solid, tb.occw[r, l] | bitset,
+                      tb.occw[r, l] & ~bitset)
+    occw = tb.occw.at[r, l].set(word2)
+    # SMEM word-major mirror (wsm[word, bidx])
+    wsm = tb.wsm.at[bit >> 5, bidx].set(word2)
+
+    # material byte (matw: 512 bytes per brick row)
+    sh = (bit & 3) * 8
+    mword = tb.matw[bidx, bit >> 2]
+    matw = tb.matw.at[bidx, bit >> 2].set(
+        (mword & ~jnp.left_shift(jnp.int32(255), sh))
+        | jnp.left_shift(val & 255, sh))
+
+    # brick occupancy flag = any of its 16 words
+    words16 = jax.lax.dynamic_slice(occw, (r, (bidx & 7) * 16), (1, 16))
+    occ = tb.occ.at[0, bidx].set(jnp.any(words16 != 0).astype(jnp.int32))
+
+    # run tables: the brick appears once per major axis
+    axes_dims = _run_axes(tb.bsize)
+    nru_list = [(u + 7) // 8 for (_, u, _v) in axes_dims]
+    size_list = [s * v * r_ for (s, _u, v), r_ in zip(axes_dims, nru_list)]
+    bases = [0, size_list[0], size_list[0] + size_list[1]]
+    suv = [(bx, by, bz), (by, bz, bx), (bz, bx, by)]
+    occr, runw = tb.occr, tb.runw
+    for k in range(3):
+        s, u, v = suv[k]
+        _, _, nv = axes_dims[k]
+        row = bases[k] + (s * nv + v) * nru_list[k] + (u >> 3)
+        lane = (u & 7) * 16 + (bit >> 5)
+        runw = runw.at[row, lane].set(word2)
+        rrow = jax.lax.dynamic_slice(runw, (row, 0), (1, 128))
+        occr = occr.at[0, row].set(jnp.any(rrow != 0).astype(jnp.int32))
+
+    return MegaTables(occ=occ, occw=occw, wsm=wsm, matw=matw, occr=occr,
+                      runw=runw, bsize=tb.bsize, vpu=tb.vpu)
+
+
+def set_voxel_tables16(occ16, occw16, bsize16, x, y, z, val):
+    """The 16^3 super-brick twin of `set_voxel_tables`."""
+    BX, BY, _ = bsize16
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    solid = jnp.asarray(val, jnp.int32) != 0
+    bidx = ((z >> 4) * BY + (y >> 4)) * BX + (x >> 4)
+    bit = ((z & 15) << 8) | ((y & 15) << 4) | (x & 15)
+    bitset = jnp.left_shift(jnp.int32(1), bit & 31)
+    word2 = jnp.where(solid, occw16[bidx, bit >> 5] | bitset,
+                      occw16[bidx, bit >> 5] & ~bitset)
+    occw16 = occw16.at[bidx, bit >> 5].set(word2)
+    row = jax.lax.dynamic_slice(occw16, (bidx, 0), (1, 128))
+    occ16 = occ16.at[0, bidx].set(jnp.any(row != 0).astype(jnp.int32))
+    return occ16, occw16
+
+
 def pack_palette(palette: np.ndarray) -> jnp.ndarray:
     """(256, 3) f32 palette -> (8, 128) lane-gather table.
 
@@ -200,7 +302,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       shading, ambient, word_gather=True, fetch_mat=True,
                       fine_unroll=1, track_steps=True, slice_depth=1,
                       traversal="brick", mat_rounds=128,
-                      ray_source="camera"):
+                      ray_source="camera", brick=BRICK, mat_bsize=None):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     shading: 'flat' (albedo), 'lambert' (N.L sun + ambient, no shadows),
@@ -211,11 +313,25 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     'refs' (six (R,128) VMEM blocks of local-space o/d — arbitrary ray
     lists, e.g. shadow/bounce wavefronts; footprints via per-slice
     cross-lane reductions since there is no shared pinhole).
+
+    brick: traversal brick edge (8 = reference Brick512; 16 = super-bricks
+    whose 4096 occupancy bits are one (128,) word row — fewer slices and
+    smaller rect footprints, 'brick' traversal only).  With brick=16,
+    `bsize` is the 16-brick grid, `occw` rows are per-16-brick words, and
+    materials resolve via the tile-end vote against the 8^3 `matw` table
+    whose grid dims are `mat_bsize`.
     """
     BX, BY, BZ = bsize
     NB = BX * BY * BZ
-    bpu = vpu / BRICK
+    bpu = vpu / brick
     rbpu = 1.0 / bpu
+    log_b = int(np.log2(brick))
+    assert 1 << log_b == brick
+    assert brick == BRICK or traversal == "brick", \
+        "brick=16 supports the 'brick' traversal only"
+    # deferred materials: hit_mat carries packed hit info until a tile-end
+    # vote loop (run mode: (bidx<<9 | bit); brick16: 8^3 (bidx8<<9 | bit8))
+    defer_mat = traversal == "run" or brick != BRICK
     shape = (tile_rows, LANES)
     log_tw = int(np.log2(tile_w))
     assert 1 << log_tw == tile_w
@@ -254,7 +370,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         d3 = (dx, dy, dz)
         o3v = (ox, oy, oz)
 
-        size = (BX * BRICK / vpu, BY * BRICK / vpu, BZ * BRICK / vpu)
+        size = (BX * brick / vpu, BY * brick / vpu, BZ * brick / vpu)
 
         # ---- slab entry (obb.cpp:48-80 semantics) --------------------------
         tmin = jnp.zeros(shape, jnp.float32)
@@ -332,9 +448,9 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
 
         hit_t = jnp.full(shape, BIG, jnp.float32)
-        # run mode: the `hit_mat` slot carries packed (bidx<<9 | bit)
-        # hit info (-1 = none) until the tile-end material vote loop
-        hit_mat = (jnp.full(shape, -1, jnp.int32) if traversal == "run"
+        # deferred-material modes carry packed hit info (-1 = none) in the
+        # `hit_mat` slot until the tile-end material vote loop
+        hit_mat = (jnp.full(shape, -1, jnp.int32) if defer_mat
                    else jnp.zeros(shape, jnp.int32))
         hit_ax = entry_axis * 2
         steps = jnp.zeros(shape, jnp.int32)
@@ -483,7 +599,16 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
                     def fine(carry4):
                         hit_t, hit_mat, hit_ax, steps = carry4
-                        if word_gather:
+                        if brick == 16:
+                            # 16^3 brick: its 4096 occupancy bits ARE one
+                            # (128,) row — single row load, lane gather
+                            occ_row = jnp.broadcast_to(
+                                occw_ref[bidx, :][None, :], shape)
+
+                            def read_word(bit):
+                                return jnp.take_along_axis(
+                                    occ_row, bit >> 5, axis=1)
+                        elif word_gather:
                             # brick's 512 occupancy bits: ONE row load,
                             # lane-gathered per step (8 bricks per row)
                             occ_row = jnp.broadcast_to(
@@ -513,9 +638,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         fex = (ox + dx * enter - bx0) * vpu
                         fey = (oy + dy * enter - by0) * vpu
                         fez = (oz + dz * enter - bz0) * vpu
-                        cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0, 7)
-                        cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0, 7)
-                        cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0, 7)
+                        cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0,
+                                      brick - 1)
+                        cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0,
+                                      brick - 1)
+                        cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0,
+                                      brick - 1)
                         tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx
                         tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy
                         tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz
@@ -540,7 +668,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # (bit, ft, ax) are recorded in-loop; t/encoding/
                             # nearest-compare happen once post-loop
                             live_b = st["live"] > 0
-                            bit = st["cz"] * 64 + st["cy"] * 8 + st["cx"]
+                            bit = ((st["cz"] << log_b) + st["cy"]
+                                   << log_b) + st["cx"]
                             word = read_word(bit)
                             vbit = (word >> (bit & 31)) & 1
                             is_hit = live_b & (vbit == 1)
@@ -561,8 +690,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             tmx2 = st["tmx"] + jnp.where(use_x, dlx, 0.0)
                             tmy2 = st["tmy"] + jnp.where(use_y, dly, 0.0)
                             tmz2 = st["tmz"] + jnp.where(use_z, dlz, 0.0)
-                            # in-bounds iff no coord has bits outside 0..7
-                            oob = ((cx2 | cy2 | cz2) & ~7) != 0
+                            # in-bounds iff no coord has bits past brick-1
+                            oob = ((cx2 | cy2 | cz2) & ~(brick - 1)) != 0
                             live = live & ~oob
                             out = dict(cx=cx2, cy=cy2, cz=cz2, tmx=tmx2,
                                        tmy=tmy2, tmz=tmz2, ft=ft2,
@@ -600,7 +729,21 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             st["h_ax"] * 2 + jnp.where(sgn_ax > 0, 1, 0),
                             hit_ax)
 
-                        if fetch_mat:
+                        if brick == 16:
+                            # defer: pack the 8^3-brick address of the hit
+                            # voxel for the tile-end material vote
+                            MBX, MBY, _ = mat_bsize
+                            hb = jnp.maximum(st["h_bit"], 0)
+                            vx = bxc * 16 + (hb & 15)
+                            vy = byc * 16 + ((hb >> 4) & 15)
+                            vz = bzc * 16 + (hb >> 8)
+                            bidx8 = ((vz >> 3) * MBY + (vy >> 3)) * MBX \
+                                + (vx >> 3)
+                            bit8 = ((vz & 7) << 6) | ((vy & 7) << 3) \
+                                | (vx & 7)
+                            hit_mat = jnp.where(
+                                better, (bidx8 << 9) | bit8, hit_mat)
+                        elif fetch_mat:
                             # material fetch: once per brick, lane gather of
                             # the hit voxel's byte from the (NB, 128) table
                             def with_mat(hm):
@@ -829,7 +972,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                  (hit_t, hit_mat, hit_ax, steps, init_done,
                   resolved.astype(jnp.int32)))))
 
-        if traversal == "run":
+        if defer_mat:
             # tile-end material vote loop: coherent tiles hit only a few
             # distinct bricks; fetch each once (row load + lane gather)
             h_info = hit_mat
@@ -851,9 +994,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 hm = jnp.where(sel, mbyte, hm)
                 return (it + 1, (p & ~sel).astype(jnp.int32), hm)
 
-            _, _, hit_mat = jax.lax.while_loop(
+            _, pending_end, hit_mat = jax.lax.while_loop(
                 mat_cond, mat_body,
                 (jnp.int32(0), pending0, jnp.zeros(shape, jnp.int32)))
+            # vote-budget overflow: hand unresolved lanes to the fallback
+            # instead of silently shading them with palette entry 0
+            resolved_i = jnp.where(pending_end > 0, 0, resolved_i)
 
         # ---- shade: palette albedo via lane gathers ------------------------
         hit = (hit_t < BIG) & (resolved_i > 0)
@@ -952,16 +1098,22 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "tile_w", "max_bricks_per_tile", "fine_iters",
                      "sky_mode", "shading", "ambient", "word_gather",
                      "fetch_mat", "fine_unroll", "track_steps",
-                     "interpret", "slice_depth", "traversal", "mat_rounds"))
+                     "interpret", "slice_depth", "traversal", "mat_rounds",
+                     "brick", "mat_bsize"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
                       sky_mode="analytic", shading="flat", ambient=0.2,
                       word_gather=True, fetch_mat=True, fine_unroll=1,
                       track_steps=True, interpret=False, slice_depth=1,
-                      traversal="brick", mat_rounds=128):
+                      traversal="brick", mat_rounds=128, brick=BRICK,
+                      mat_bsize=None):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
-    each shaped (n_tiles*tile_rows, 128)."""
+    each shaped (n_tiles*tile_rows, 128).
+
+    brick=16: pass the 16^3 tables from `pack_mega16` as (occ, occw) with
+    `bsize` = 16-brick dims, keep the 8^3 `matw` and set `mat_bsize` to the
+    8-brick dims."""
     tile_h = tile_rows * LANES // tile_w
     assert width % tile_w == 0 and height % tile_h == 0, \
         f"{width}x{height} not divisible by {tile_w}x{tile_h} tiles"
@@ -974,9 +1126,9 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         sky_mode=sky_mode, shading=shading, ambient=ambient,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
-        slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds)
+        slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
+        brick=brick, mat_bsize=mat_bsize)
 
-    nb = bsize[0] * bsize[1] * bsize[2]
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     fixed = lambda i: (0, 0)
@@ -988,7 +1140,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
             pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb, 128), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
         ],
         out_specs=[out_block] * 3,
@@ -1020,6 +1172,7 @@ class MegaVolume:
     def __init__(self, volume):
         self.volume = volume
         self.tables = pack_mega(volume.grid, volume.vpu)
+        self.occ16, self.occw16, self.bsize16 = pack_mega16(volume.grid)
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
         self.pos = jnp.asarray(volume.pos, jnp.float32)
@@ -1028,9 +1181,23 @@ class MegaVolume:
     def refresh(self):
         """Re-pack after dynamic edits (set_voxel analog, vv.cpp:377-432)."""
         self.tables = pack_mega(self.volume.grid, self.volume.vpu)
+        self.occ16, self.occw16, self.bsize16 = pack_mega16(self.volume.grid)
         self.pal = pack_palette(self.volume.palette)
         self.pos = jnp.asarray(self.volume.pos, jnp.float32)
         self.rot = jnp.asarray(self.volume.rot, jnp.float32)
+
+    def brick16_kw(self):
+        """kwargs for render_mega_tiles in 16^3 super-brick mode."""
+        return dict(bsize=self.bsize16, brick=16,
+                    mat_bsize=self.tables.bsize, vpu=self.tables.vpu)
+
+    def set_voxel(self, x: int, y: int, z: int, val: int):
+        """O(1) single-voxel edit: host grid + all packed device tables
+        (the fast-path analog of vv.cpp:377-432 — no full repack)."""
+        self.volume.set_voxel(x, y, z, val)
+        self.tables = set_voxel_tables(self.tables, x, y, z, val)
+        self.occ16, self.occw16 = set_voxel_tables16(
+            self.occ16, self.occw16, self.bsize16, x, y, z, val)
 
 
 def mega_camera(mv: MegaVolume, camera, sun_dir, width, height,

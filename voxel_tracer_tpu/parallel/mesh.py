@@ -3,8 +3,9 @@
 Axis convention (SURVEY.md §2.4 mapping table):
 - "rays": the data-parallel axis — rays/pixels sharded per chip (the analog
   of the reference's OpenMP scanline fan-out, renderer.cpp:199-223).
-Voxel grids are replicated over "rays" (small scenes) — the brick-sharded
-giant-grid mode adds a "grid" axis in a later revision.
+Voxel grids are replicated over "rays" (small scenes); for giant grids the
+brick-sharded mode adds a second "grid" axis (parallel/grid_shard.py:
+brick-aligned z-slabs + one all_gather nearest-hit reduction).
 """
 
 from __future__ import annotations
