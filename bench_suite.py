@@ -63,9 +63,10 @@ def bench_flat_256():
                             jnp.zeros(3), W / H)
         cam_p = mega.mega_camera(mv, cam, sun, W, H)
         rgba, _, _ = mega.render_mega_tiles(
-            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
-            bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
-            tile_rows=16, tile_w=64, fine_unroll=6, track_steps=False)
+            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+            tb.matw, mv.pal, width=W, height=H,
+            tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
+            track_steps=False, **mv.brick16_kw())
         return rgba
 
     @jax.jit
@@ -162,9 +163,10 @@ def bench_vox_brickmap():
                             jnp.zeros(3), W / H)
         cam_p = mega.mega_camera(mv, cam, sun, W, H)
         rgba, _, _ = mega.render_mega_tiles(
-            cam_p, tb.occ, tb.occw, tb.wsm, tb.matw, mv.pal,
-            bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
-            tile_rows=32, tile_w=64, fine_unroll=6, track_steps=False)
+            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+            tb.matw, mv.pal, width=W, height=H,
+            tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
+            track_steps=False, **mv.brick16_kw())
         return rgba
 
     @jax.jit
@@ -196,7 +198,7 @@ def bench_multiobj_shadow():
     def frame(_):
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=32,
                                        tile_w=64, fine_unroll=6,
-                                       track_steps=False)
+                                       track_steps=False, use_brick16=True)
         return out["image"]
 
     @jax.jit

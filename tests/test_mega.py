@@ -162,6 +162,43 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(a["mat"][hit_a], (aux_r & 255)[hit_r])
     assert ((aux_r >> mega.AUX_RESOLVED_SHIFT) & 1).mean() > 0.95
 
+    # HBM material table (giant-scene mode): the vote DMAs rows instead of
+    # lane-gathering a VMEM-resident table — identical output
+    _, t2, aux2 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
+        mv.pal, width=64, height=32, fine_iters=96, fine_unroll=4,
+        interpret=True, matw_space="hbm", **mv.brick16_kw())
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(aux2), np.asarray(aux))
+
+    # fused-depth mode (slice_depth=2): one 32-deep box per window
+    _, t3, aux3 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
+        mv.pal, width=64, height=32, fine_iters=96, fine_unroll=4,
+        interpret=True, slice_depth=2, **mv.brick16_kw())
+    t3 = np.asarray(t3); aux3 = np.asarray(aux3)
+    hit3 = t3 < 1e30
+    np.testing.assert_array_equal(np.asarray(t) < 1e30, hit3)
+    np.testing.assert_allclose(t3[hit3], np.asarray(t)[hit3], atol=1e-5)
+    np.testing.assert_array_equal((aux3 & 255)[hit3],
+                                  (np.asarray(aux) & 255)[hit3])
+
+
+def test_lambert_mega_brick16_agrees(scene):
+    """The lit pipeline with 16^3 traversal == the 8^3 pipeline."""
+    cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 2.0)
+    mv = mega.MegaVolume(scene)
+    a = {k: np.asarray(v) for k, v in mega.render_lambert_mega(
+        mv, cam, 64, 32, interpret=True).items()}
+    b = {k: np.asarray(v) for k, v in mega.render_lambert_mega(
+        mv, cam, 64, 32, interpret=True, use_brick16=True).items()}
+    hit = a["depth"] < 1e30
+    np.testing.assert_array_equal(hit, b["depth"] < 1e30)
+    np.testing.assert_allclose(a["depth"][hit], b["depth"][hit], atol=1e-5)
+    np.testing.assert_array_equal(a["material"][hit], b["material"][hit])
+    np.testing.assert_allclose(a["irradiance"][hit], b["irradiance"][hit],
+                               atol=1e-5)
+
 
 def test_set_voxel_incremental_equals_repack(scene):
     """Edit-then-render == repack-then-render for every packed table

@@ -302,8 +302,13 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       shading, ambient, word_gather=True, fetch_mat=True,
                       fine_unroll=1, track_steps=True, slice_depth=1,
                       traversal="brick", mat_rounds=128,
-                      ray_source="camera", brick=BRICK, mat_bsize=None):
+                      ray_source="camera", brick=BRICK, mat_bsize=None,
+                      matw_space="vmem"):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
+
+    matw_space: 'vmem' (material table resident on-chip — small scenes) or
+    'hbm' (table stays in HBM; the tile-end vote DMAs one 512-byte brick
+    row per distinct hit brick — giant scenes whose tables exceed VMEM).
 
     shading: 'flat' (albedo), 'lambert' (N.L sun + ambient, no shadows),
     'raw' (albedo8, no tonemap — for multi-pass pipelines), or 'trace'
@@ -332,11 +337,22 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # deferred materials: hit_mat carries packed hit info until a tile-end
     # vote loop (run mode: (bidx<<9 | bit); brick16: 8^3 (bidx8<<9 | bit8))
     defer_mat = traversal == "run" or brick != BRICK
+    assert matw_space == "vmem" or defer_mat, \
+        "matw_space='hbm' requires a deferred-material mode (run/brick16)"
+    # trace-only consumers with fetch_mat=False never read materials —
+    # skip the vote (and any matw access) entirely
+    vote_mats = defer_mat and (fetch_mat or shading != "trace")
+    # fused-depth mode: slice_depth=2 16^3 bricks march as ONE 32-deep box
+    # (two word rows, per-lane row select) — halves the window/slab/entry
+    # overhead and avoids wasted chunk tails at brick crossings
+    deep = brick == 16 and slice_depth == 2 and traversal == "brick"
     shape = (tile_rows, LANES)
     log_tw = int(np.log2(tile_w))
     assert 1 << log_tw == tile_w
 
     def kernel(*refs):
+        if matw_space == "hbm":
+            *refs, mat_scratch, mat_sem = refs
         if ray_source == "camera":
             (cam_ref, occ_ref, occw_ref, wsm_ref, matw_ref, pal_ref,
              rgba_ref, t_ref, aux_ref) = refs
@@ -373,6 +389,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         size = (BX * brick / vpu, BY * brick / vpu, BZ * brick / vpu)
 
         # ---- slab entry (obb.cpp:48-80 semantics) --------------------------
+        # rd is clipped to +-BIG (finite), so the products below can reach
+        # +-inf but never NaN (no 0 * inf) — no NaN guards needed.
         tmin = jnp.zeros(shape, jnp.float32)
         tmax = jnp.full(shape, BIG, jnp.float32)
         entry_axis = jnp.zeros(shape, jnp.int32)
@@ -382,8 +400,6 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             t2 = (size[a] - o3v[a]) * rd
             tn = jnp.minimum(t1, t2)
             tf = jnp.maximum(t1, t2)
-            tn = jnp.where(jnp.isnan(tn), -BIG, tn)
-            tf = jnp.where(jnp.isnan(tf), BIG, tf)
             upd = tn > tmin
             entry_axis = jnp.where(upd, a, entry_axis)
             tmin = jnp.maximum(tmin, tn)
@@ -556,8 +572,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
                 done = done_i > 0
                 n_rect = jnp.maximum(n_u * n_v, 1)
-                sub = bi // n_rect              # sub-slice: near to far
-                rb = bi - sub * n_rect
+                if deep:
+                    # fused-depth mode: one box spans the whole window's
+                    # slice_depth bricks along k; no sub-slice loop
+                    sub = 0
+                    rb = bi
+                else:
+                    sub = bi // n_rect          # sub-slice: near to far
+                    rb = bi - sub * n_rect
                 s = s_first + sub * ksign
                 s_ok = (s >= 0) & (s < nk)
                 ui = rb % jnp.maximum(n_u, 1)
@@ -565,12 +587,35 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
                 sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
 
-                bxc = pick3(s, sv, su, k)
-                byc = pick3(su, s, sv, k)
-                bzc = pick3(sv, su, s, k)
+                if deep:
+                    # box-min brick along k + pair validity
+                    s2 = s + ksign
+                    s2_ok = (s2 >= 0) & (s2 < nk)
+                    smin = jnp.minimum(s, jnp.where(s2_ok, s2, s))
+                else:
+                    smin = s
+
+                bxc = pick3(smin, sv, su, k)
+                byc = pick3(su, smin, sv, k)
+                bzc = pick3(sv, su, smin, k)
                 bidx = (bzc * BY + byc) * BX + bxc
                 occ = jnp.where(s_ok, occ_ref[0, jnp.clip(bidx, 0, NB - 1)],
                                 0)
+                if deep:
+                    # second brick of the pair = box-min + 1 along k
+                    kstride = pick3(1, BX, BX * BY, k)
+                    bidx2 = bidx + kstride
+                    occ2 = jnp.where(s2_ok,
+                                     occ_ref[0, jnp.clip(bidx2, 0, NB - 1)],
+                                     0)
+                    occ = occ | occ2
+                    # k-extent of the box (1 or 2 bricks) + per-axis fine
+                    # coordinate masks (k axis spans 0..31 when paired)
+                    ext_k = rbpu * (1.0 + s2_ok.astype(jnp.float32))
+                    mk = jnp.where(s2_ok, 31, 15)
+                    mx_c = jnp.where(k == 0, mk, 15)
+                    my_c = jnp.where(k == 1, mk, 15)
+                    mz_c = jnp.where(k == 2, mk, 15)
 
                 def occupied(carry3):
                     hit_t, hit_mat, hit_ax, steps, done_i = carry3
@@ -581,14 +626,19 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     tn = jnp.zeros(shape, jnp.float32)
                     tf = jnp.full(shape, BIG, jnp.float32)
                     b_ax = jnp.zeros(shape, jnp.int32)
+                    if deep:
+                        exts = (jnp.where(k == 0, ext_k, rbpu),
+                                jnp.where(k == 1, ext_k, rbpu),
+                                jnp.where(k == 2, ext_k, rbpu))
+                    else:
+                        exts = (rbpu, rbpu, rbpu)
                     for a, (oa, rd, b0) in enumerate(
                             ((ox, rdx, bx0), (oy, rdy, by0), (oz, rdz, bz0))):
+                        # rd finite (pre-clipped) -> no NaN possible
                         t1_ = (b0 - oa) * rd
-                        t2_ = (b0 + rbpu - oa) * rd
+                        t2_ = (b0 + exts[a] - oa) * rd
                         lo = jnp.minimum(t1_, t2_)
                         hi = jnp.maximum(t1_, t2_)
-                        lo = jnp.where(jnp.isnan(lo), -BIG, lo)
-                        hi = jnp.where(jnp.isnan(hi), BIG, hi)
                         upd = lo > tn
                         b_ax = jnp.where(upd, a, b_ax)
                         tn = jnp.maximum(tn, lo)
@@ -599,7 +649,22 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
                     def fine(carry4):
                         hit_t, hit_mat, hit_ax, steps = carry4
-                        if brick == 16:
+                        if deep:
+                            # paired bricks: two word rows, per-lane select
+                            # by the k coordinate's high bit
+                            row_lo = jnp.broadcast_to(
+                                occw_ref[jnp.clip(bidx, 0, NB - 1), :]
+                                [None, :], shape)
+                            row_hi = jnp.broadcast_to(
+                                occw_ref[jnp.clip(bidx2, 0, NB - 1), :]
+                                [None, :], shape)
+
+                            def read_word(bit, hi_sel):
+                                lane = bit >> 5
+                                w0 = jnp.take_along_axis(row_lo, lane, axis=1)
+                                w1 = jnp.take_along_axis(row_hi, lane, axis=1)
+                                return jnp.where(hi_sel, w1, w0)
+                        elif brick == 16:
                             # 16^3 brick: its 4096 occupancy bits ARE one
                             # (128,) row — single row load, lane gather
                             occ_row = jnp.broadcast_to(
@@ -638,18 +703,23 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         fex = (ox + dx * enter - bx0) * vpu
                         fey = (oy + dy * enter - by0) * vpu
                         fez = (oz + dz * enter - bz0) * vpu
+                        if deep:
+                            hix, hiy, hiz = mx_c, my_c, mz_c
+                        else:
+                            hix = hiy = hiz = brick - 1
                         cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0,
-                                      brick - 1)
+                                      hix)
                         cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0,
-                                      brick - 1)
+                                      hiy)
                         cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0,
-                                      brick - 1)
+                                      hiz)
                         tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx
                         tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy
                         tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz
-                        tmx = jnp.minimum(jnp.where(jnp.isnan(tmx), BIG, tmx), BIG)
-                        tmy = jnp.minimum(jnp.where(jnp.isnan(tmy), BIG, tmy), BIG)
-                        tmz = jnp.minimum(jnp.where(jnp.isnan(tmz), BIG, tmz), BIG)
+                        # rdx/y/z finite -> no NaN; clamp +inf overflow
+                        tmx = jnp.minimum(tmx, BIG)
+                        tmy = jnp.minimum(tmy, BIG)
+                        tmz = jnp.minimum(tmz, BIG)
 
                         at_vol_entry = enter <= tmin + 1e-12
                         ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
@@ -661,6 +731,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                    h_ft=jnp.zeros(shape, jnp.float32),
                                    h_ax=jnp.zeros(shape, jnp.int32),
                                    stp=steps)
+                        if deep:
+                            st0["h_hi"] = jnp.zeros(shape, jnp.int32)
 
                         def fine_step(st):
                             # hit bookkeeping is deferred: a ray hits at most
@@ -668,14 +740,26 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # (bit, ft, ax) are recorded in-loop; t/encoding/
                             # nearest-compare happen once post-loop
                             live_b = st["live"] > 0
-                            bit = ((st["cz"] << log_b) + st["cy"]
-                                   << log_b) + st["cx"]
-                            word = read_word(bit)
+                            if deep:
+                                bit = (((((st["cz"] & 15) << 4)
+                                         + (st["cy"] & 15)) << 4)
+                                       + (st["cx"] & 15))
+                                lk = pick3(st["cx"], st["cy"], st["cz"], k)
+                                hi_sel = lk >= 16
+                                word = read_word(bit, hi_sel)
+                            else:
+                                bit = ((st["cz"] << log_b) + st["cy"]
+                                       << log_b) + st["cx"]
+                                word = read_word(bit)
                             vbit = (word >> (bit & 31)) & 1
                             is_hit = live_b & (vbit == 1)
                             h_bit = jnp.where(is_hit, bit, st["h_bit"])
                             h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
                             h_ax = jnp.where(is_hit, st["ax"], st["h_ax"])
+                            if deep:
+                                h_hi = jnp.where(is_hit,
+                                                 hi_sel.astype(jnp.int32),
+                                                 st["h_hi"])
                             live = live_b & ~is_hit
 
                             use_x = (st["tmx"] < st["tmy"]) & (st["tmx"] < st["tmz"])
@@ -690,8 +774,13 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             tmx2 = st["tmx"] + jnp.where(use_x, dlx, 0.0)
                             tmy2 = st["tmy"] + jnp.where(use_y, dly, 0.0)
                             tmz2 = st["tmz"] + jnp.where(use_z, dlz, 0.0)
-                            # in-bounds iff no coord has bits past brick-1
-                            oob = ((cx2 | cy2 | cz2) & ~(brick - 1)) != 0
+                            if deep:
+                                # per-axis masks (k axis spans two bricks)
+                                oob = (((cx2 & ~mx_c) | (cy2 & ~my_c)
+                                        | (cz2 & ~mz_c)) != 0)
+                            else:
+                                # in-bounds iff no coord has bits past edge
+                                oob = ((cx2 | cy2 | cz2) & ~(brick - 1)) != 0
                             live = live & ~oob
                             out = dict(cx=cx2, cy=cy2, cz=cz2, tmx=tmx2,
                                        tmy=tmy2, tmz=tmz2, ft=ft2,
@@ -699,6 +788,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                        live=live.astype(jnp.int32),
                                        h_bit=h_bit, h_ft=h_ft, h_ax=h_ax,
                                        stp=st["stp"])
+                            if deep:
+                                out["h_hi"] = h_hi
                             if track_steps:
                                 out["stp"] = st["stp"] + jnp.where(live_b, 1, 0)
                             return out
@@ -737,6 +828,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             vx = bxc * 16 + (hb & 15)
                             vy = byc * 16 + ((hb >> 4) & 15)
                             vz = bzc * 16 + (hb >> 8)
+                            if deep:
+                                # k coordinate's 2nd-brick offset
+                                hh = jnp.where(st["h_hi"] > 0, 16, 0)
+                                vx = vx + jnp.where(k == 0, hh, 0)
+                                vy = vy + jnp.where(k == 1, hh, 0)
+                                vz = vz + jnp.where(k == 2, hh, 0)
                             bidx8 = ((vz >> 3) * MBY + (vy >> 3)) * MBX \
                                 + (vx >> 3)
                             bit8 = ((vz & 7) << 6) | ((vy & 7) << 3) \
@@ -799,12 +896,11 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             ((ok_, rdk, bk0, rbpu),
                              (ou_, rdu, bu0, 8 * rbpu),
                              (ov_, rdv, bv0, rbpu))):
+                        # rd finite (pre-clipped) -> no NaN possible
                         t1_ = (b0 - oa) * rd
                         t2_ = (b0 + ext - oa) * rd
                         lo = jnp.minimum(t1_, t2_)
                         hi = jnp.maximum(t1_, t2_)
-                        lo = jnp.where(jnp.isnan(lo), -BIG, lo)
-                        hi = jnp.where(jnp.isnan(hi), BIG, hi)
                         upd = lo > tn
                         b_axk = jnp.where(upd, a, b_axk)
                         tn = jnp.maximum(tn, lo)
@@ -826,9 +922,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         tmk = (ck.astype(jnp.float32) - fek + stpk) * rdk
                         tmu = (cu.astype(jnp.float32) - feu + stpu) * rdu
                         tmv = (cv.astype(jnp.float32) - fev + stpv) * rdv
-                        tmk = jnp.minimum(jnp.where(jnp.isnan(tmk), BIG, tmk), BIG)
-                        tmu = jnp.minimum(jnp.where(jnp.isnan(tmu), BIG, tmu), BIG)
-                        tmv = jnp.minimum(jnp.where(jnp.isnan(tmv), BIG, tmv), BIG)
+                        # rdk/u/v finite -> no NaN; clamp +inf overflow
+                        tmk = jnp.minimum(tmk, BIG)
+                        tmu = jnp.minimum(tmu, BIG)
+                        tmv = jnp.minimum(tmv, BIG)
 
                         at_vol_entry = enter <= tmin + 1e-12
                         eak = jnp.where(entry_axis == k, 0,
@@ -946,7 +1043,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
                 n_bricks = jnp.minimum(total, max_bricks_per_tile)
                 carry2 = jax.lax.fori_loop(
-                    0, n_bricks * slice_depth, brick_body,
+                    0, n_bricks * (1 if deep else slice_depth), brick_body,
                     (hit_t, hit_mat, hit_ax, steps, done_i))
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
             fin = (hit_t < BIG) | (active0 & (t1 >= tmax - 1e-7))
@@ -972,9 +1069,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                  (hit_t, hit_mat, hit_ax, steps, init_done,
                   resolved.astype(jnp.int32)))))
 
-        if defer_mat:
+        if vote_mats:
             # tile-end material vote loop: coherent tiles hit only a few
-            # distinct bricks; fetch each once (row load + lane gather)
+            # distinct bricks; fetch each once (row load + lane gather —
+            # with matw in HBM, one 512-byte DMA per distinct brick)
             h_info = hit_mat
             pending0 = ((hit_t < BIG) & (h_info >= 0)).astype(jnp.int32)
 
@@ -987,7 +1085,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 p = pending_i > 0
                 bsel = jnp.min(jnp.where(p, h_info >> 9, jnp.int32(1 << 30)))
                 sel = p & ((h_info >> 9) == bsel)
-                mrow = jnp.broadcast_to(matw_ref[bsel, :][None, :], shape)
+                if matw_space == "hbm":
+                    dma = pltpu.make_async_copy(
+                        matw_ref.at[pl.ds(bsel, 1)], mat_scratch, mat_sem)
+                    dma.start()
+                    dma.wait()
+                    mrow = jnp.broadcast_to(mat_scratch[0, :][None, :], shape)
+                else:
+                    mrow = jnp.broadcast_to(matw_ref[bsel, :][None, :], shape)
                 hb = h_info & 511
                 mword = jnp.take_along_axis(mrow, hb >> 2, axis=1)
                 mbyte = (mword >> ((hb & 3) * 8)) & 255
@@ -1000,6 +1105,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             # vote-budget overflow: hand unresolved lanes to the fallback
             # instead of silently shading them with palette entry 0
             resolved_i = jnp.where(pending_end > 0, 0, resolved_i)
+        elif defer_mat:
+            # deferred mode but materials unused (trace-only consumer):
+            # don't leak packed hit info through the aux mat byte
+            hit_mat = jnp.zeros(shape, jnp.int32)
 
         # ---- shade: palette albedo via lane gathers ------------------------
         hit = (hit_t < BIG) & (resolved_i > 0)
@@ -1039,12 +1148,19 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
         # ---- sky for misses -------------------------------------------------
         if sky_mode == "analytic":
-            # world-space dir: columns of R (cam_ref[12:21] row-major R)
-            dwx = cam_ref[12] * dx + cam_ref[13] * dy + cam_ref[14] * dz
-            dwy = cam_ref[15] * dx + cam_ref[16] * dy + cam_ref[17] * dz
-            dwz = cam_ref[18] * dx + cam_ref[19] * dy + cam_ref[20] * dz
-            sky = _analytic_sky((dwx, dwy, dwz),
-                                (cam_ref[21], cam_ref[22], cam_ref[23]))
+            # transcendental-heavy: skip entirely for tiles the volume
+            # fully covers (interior tiles of a close-up scene)
+            def _sky(_):
+                # world-space dir: columns of R (cam_ref[12:21] row-major R)
+                dwx = cam_ref[12] * dx + cam_ref[13] * dy + cam_ref[14] * dz
+                dwy = cam_ref[15] * dx + cam_ref[16] * dy + cam_ref[17] * dz
+                dwz = cam_ref[18] * dx + cam_ref[19] * dy + cam_ref[20] * dz
+                return _analytic_sky((dwx, dwy, dwz),
+                                     (cam_ref[21], cam_ref[22], cam_ref[23]))
+
+            sky = jax.lax.cond(
+                jnp.all(hit), lambda _: [jnp.zeros(shape, jnp.float32)] * 3,
+                _sky, 0)
         elif sky_mode == "constant":
             sky = [jnp.full(shape, 0.0, jnp.float32) + cam_ref[26 + c]
                    for c in range(3)]
@@ -1099,7 +1215,7 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "sky_mode", "shading", "ambient", "word_gather",
                      "fetch_mat", "fine_unroll", "track_steps",
                      "interpret", "slice_depth", "traversal", "mat_rounds",
-                     "brick", "mat_bsize"))
+                     "brick", "mat_bsize", "matw_space"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
@@ -1107,7 +1223,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       word_gather=True, fetch_mat=True, fine_unroll=1,
                       track_steps=True, interpret=False, slice_depth=1,
                       traversal="brick", mat_rounds=128, brick=BRICK,
-                      mat_bsize=None):
+                      mat_bsize=None, matw_space="vmem"):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128).
 
@@ -1127,11 +1243,18 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
         slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
-        brick=brick, mat_bsize=mat_bsize)
+        brick=brick, mat_bsize=mat_bsize, matw_space=matw_space)
 
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     fixed = lambda i: (0, 0)
+    if matw_space == "hbm":
+        matw_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((1, 128), jnp.int32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        matw_spec = pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM)
+        scratch = []
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1140,7 +1263,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
             pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
-            pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM),
+            matw_spec,
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
         ],
         out_specs=[out_block] * 3,
@@ -1149,6 +1272,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
             jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cam16, occ, occw, wsm, matw, pal)
     return outs
@@ -1294,11 +1418,13 @@ def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
     jax.jit,
     static_argnames=("bsize", "vpu", "tile_rows", "max_bricks_per_tile",
                      "fine_iters", "fetch_mat", "fine_unroll",
-                     "track_steps", "word_gather", "interpret"))
+                     "track_steps", "word_gather", "interpret", "brick",
+                     "mat_bsize", "matw_space"))
 def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                max_bricks_per_tile=64, fine_iters=24, fetch_mat=False,
                fine_unroll=4, track_steps=False, word_gather=True,
-               interpret=False):
+               interpret=False, brick=BRICK, mat_bsize=None,
+               matw_space="vmem"):
     """Trace N local-space rays through the fast kernel (ray_source='refs').
 
     The ray-list twin of `render_mega_tiles` — for shadow rays and bounce
@@ -1320,13 +1446,21 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
         sky_mode="none", shading="trace", ambient=0.0,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
-        ray_source="refs")
+        ray_source="refs", brick=brick, mat_bsize=mat_bsize,
+        matw_space=matw_space)
 
     cam = jnp.zeros((29,), jnp.float32)
     pal = jnp.zeros((8, 128), jnp.float32)
     block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     fixed = lambda i: (0, 0)
+    if matw_space == "hbm":
+        matw_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((1, 128), jnp.int32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        matw_spec = pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM)
+        scratch = []
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1336,7 +1470,7 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
             pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
-            pl.BlockSpec(matw.shape, fixed, memory_space=pltpu.VMEM),
+            matw_spec,
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[block] * 3,
@@ -1345,6 +1479,7 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
             jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * tile_rows, LANES), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cam, *comps, occ, occw, wsm, matw, pal)
     _, t, aux = outs
@@ -1364,12 +1499,14 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
     static_argnames=("bsize", "vpu", "width", "height", "tile_rows",
                      "tile_w", "ambient", "fine_unroll", "interpret",
                      "shadow_tile_rows", "track_steps", "real_width",
-                     "real_height"))
+                     "real_height", "brick", "mat_bsize", "matw_space",
+                     "fine_iters"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
                          interpret, shadow_tile_rows, track_steps,
-                         real_width=None, real_height=None):
+                         real_width=None, real_height=None, brick=BRICK,
+                         mat_bsize=None, matw_space="vmem", fine_iters=24):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -1381,7 +1518,8 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         cam_p, occ, occw, wsm, matw, pal, bsize=bsize, vpu=vpu,
         width=width, height=height, tile_rows=tile_rows, tile_w=tile_w,
         sky_mode="none", shading="raw", fine_unroll=fine_unroll,
-        track_steps=track_steps, interpret=interpret)
+        track_steps=track_steps, interpret=interpret, brick=brick,
+        mat_bsize=mat_bsize, matw_space=matw_space, fine_iters=fine_iters)
     tile_h = tile_rows * LANES // tile_w
     n = width * height
     t = untile(t.reshape(n), height, width, tile_h, tile_w)
@@ -1417,9 +1555,11 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         d_s = jnp.concatenate(
             [d_s, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
                            (pad, 1))], axis=0)
-    sh = trace_rays(o_s, d_s, occ, occw, wsm, matw, bsize=bsize, vpu=vpu,
-                    tile_rows=shadow_tile_rows, fine_unroll=fine_unroll,
-                    interpret=interpret)
+    sh = trace_rays(o_s, d_s, occ, occw, wsm,
+                    jnp.zeros((1, 128), jnp.int32),   # no materials needed
+                    bsize=bsize, vpu=vpu, tile_rows=shadow_tile_rows,
+                    fine_unroll=fine_unroll, fine_iters=fine_iters,
+                    interpret=interpret, brick=brick, mat_bsize=mat_bsize)
     occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
     # unresolved shadow rays (sun fighting the tile axis) fall back to lit
 
@@ -1449,12 +1589,17 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
                         sun_dir=None, sun_light=None, ambient=0.2,
                         tile_rows=8, tile_w=32, fine_unroll=4,
                         interpret=False, shadow_tile_rows=8,
-                        track_steps=True):
+                        track_steps=True, use_brick16=False):
     """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
     ray-list shadow pass + gather-free XLA shading/tonemap.
 
     The fast analog of renderer_fast.render_lambert_fast (sun_light,
-    shadow rays: materials.cpp:226-244 semantics, minus sphere lights)."""
+    shadow rays: materials.cpp:226-244 semantics, minus sphere lights).
+
+    use_brick16: 16^3 super-brick traversal.  When the material table
+    outgrows VMEM (giant merged scenes, e.g. the 512-crate profiling grid)
+    it automatically stays in HBM with per-brick DMA in the material vote.
+    """
     from voxel_tracer_tpu.models.scene import SUN_DIR, SUN_LIGHT
 
     sd = jnp.asarray(SUN_DIR if sun_dir is None else sun_dir, jnp.float32)
@@ -1465,13 +1610,21 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     tile_h = tile_rows * LANES // tile_w
     wp = -(-width // tile_w) * tile_w    # pad to tile grid, crop after
     hp = -(-height // tile_h) * tile_h
+    dummy_wsm = jnp.zeros((1, 1), jnp.int32)
+    if use_brick16:
+        matw_space = "hbm" if tb.matw.size * 4 > 4 * 2**20 else "vmem"
+        kw = dict(occ=mv.occ16, occw=mv.occw16, wsm=dummy_wsm,
+                  bsize=mv.bsize16, brick=16, mat_bsize=tb.bsize,
+                  matw_space=matw_space, fine_iters=48)
+    else:
+        kw = dict(occ=tb.occ, occw=tb.occw, wsm=dummy_wsm, bsize=tb.bsize)
     out = _render_lambert_mega(
-        cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, tb.occ, tb.occw, tb.wsm,
-        tb.matw, mv.pal, camera, bsize=tb.bsize, vpu=tb.vpu, width=wp,
+        cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, matw=tb.matw, pal=mv.pal,
+        camera=camera, vpu=tb.vpu, width=wp,
         height=hp, tile_rows=tile_rows, tile_w=tile_w, ambient=ambient,
         fine_unroll=fine_unroll, interpret=interpret,
         shadow_tile_rows=shadow_tile_rows, track_steps=track_steps,
-        real_width=width, real_height=height)
+        real_width=width, real_height=height, **kw)
     if (wp, hp) != (width, height):
         out = {kk: vv[:height, :width] for kk, vv in out.items()}
     return out

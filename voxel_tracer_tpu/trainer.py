@@ -35,6 +35,7 @@ class TrainConfig:
     sigma_init: float = 0.1
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
+    metrics_path: Optional[str] = None     # JSONL metrics stream
 
 
 def init_params(cfg: TrainConfig):
@@ -75,6 +76,9 @@ class Trainer:
         self.step = 0
         self.ckpt = (CheckpointManager(cfg.checkpoint_dir)
                      if cfg.checkpoint_dir else None)
+        from voxel_tracer_tpu.utils.logging import MetricsLogger
+        self.metrics = MetricsLogger(cfg.metrics_path) \
+            if cfg.metrics_path else None
 
     def maybe_restore(self) -> bool:
         if self.ckpt is None:
@@ -107,6 +111,9 @@ class Trainer:
             if self.step % log_every == 0:
                 losses.append(float(loss))
                 log_fn(f"step {self.step}: loss {float(loss):.6f}")
+                if self.metrics is not None:
+                    self.metrics.log(step=self.step, loss=float(loss),
+                                     rays=batch)
             if (self.ckpt is not None
                     and self.step % cfg.checkpoint_every == 0):
                 self.ckpt.save(self.step, {

@@ -5,13 +5,44 @@ crate volumes with a canned camera on one pinned core (profile.h:10-37,
 camera_profiling.bin).  Here the same scene is built from the reference's
 own assets (or procedural crates when assets are absent), baked into a
 single merged grid for the coherent kernel, with a fixed camera pose.
+
+`trace()` wraps `jax.profiler` for device-level traces (the TPU analog of
+the reference's FPS/frame-time overlay + step-count heatmaps, which live
+on as the EMA timer in utils/timer.py and the steps AOV).
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/voxel_tracer_trace",
+          host_tracer_level: int = 2):
+    """Capture a jax.profiler device trace around a code block.
+
+    View with `tensorboard --logdir <logdir>` or xprof.  Usage:
+
+        with profiling.trace("/tmp/tr"):
+            out = render(...); jax.block_until_ready(out)
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir, create_perfetto_trace=False)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named sub-region inside a trace (jax.profiler.TraceAnnotation)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
 
 from voxel_tracer_tpu.models.camera import Camera
 from voxel_tracer_tpu.models.volume import VoxelVolume
