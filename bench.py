@@ -6,13 +6,16 @@ full-coverage camera, rendered by the fused Pallas megakernel
 (voxel_tracer_tpu/ops/pallas/mega.py: raygen + two-level DDA + material +
 palette + sky + ACES tonemap in one kernel, RGBA8 out).
 
-Measures a sustained on-device frame loop: K frames per jit call via
-`lax.scan`, each with a different camera, each consuming the previous
-frame's output (serialized, no cross-frame CSE).  This is how a real
-interactive/training loop runs on TPU — one dispatch, many frames — and it
-excludes the experimental axon tunnel's ~60 ms per-dispatch round trip,
-which is a harness artifact, not framework cost (a local TPU runtime
-dispatches in ~100 us).
+Measures a sustained on-device frame loop: K frames per jit call via a
+dynamic-bound `lax.while_loop`, each with a different camera, each
+consuming the previous frame's output (serialized, no cross-frame CSE).
+This is how a real interactive/training loop runs on TPU — one dispatch,
+many frames — and it excludes the experimental axon tunnel's ~60 ms
+per-dispatch round trip, which is a harness artifact, not framework cost
+(a local TPU runtime dispatches in ~100 us).  The frame count is a traced
+argument on purpose: with a static trip count XLA unrolls the loop and
+Mosaic recompiles the megakernel once per iteration (128 frames -> >10 min
+compile); the dynamic bound keeps it one kernel, ~80 s cold compile.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -73,22 +76,28 @@ def main():
         return rgba
 
     @jax.jit
-    def run_frames():
-        def body(c, i):
+    def run_frames(n):
+        def cond(s):
+            return s[0] < n
+
+        def body(s):
+            i, c = s
             rgba = frame(c * 0.01)
             # consume one texel: serializes frames, keeps the kernel live
-            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0),
-                            jnp.arange(FRAMES_PER_DISPATCH))
+            return i + 1, c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38
+
+        _, c = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))
         return c
 
-    out = run_frames()
+    n = jnp.int32(FRAMES_PER_DISPATCH)
+    out = run_frames(n)
     _force_sync(out)
 
     rounds = 3
     t0 = time.perf_counter()
     for _ in range(rounds):
-        out = run_frames()
+        out = run_frames(n)
         _force_sync(out)
     dt = (time.perf_counter() - t0) / (rounds * FRAMES_PER_DISPATCH)
 
