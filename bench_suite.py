@@ -13,9 +13,10 @@
                            views: optax train step/s on one chip
 
 Results are also written to BENCH_SUITE.json.  Frame configs run a
-multi-frame `lax.scan` loop per dispatch so the axon tunnel's ~60 ms
-per-dispatch round trip (a harness artifact) is amortized, matching
-bench.py's methodology.
+multi-frame dynamic-bound `lax.while_loop` per dispatch so the axon
+tunnel's ~60 ms per-dispatch round trip (a harness artifact) is
+amortized, matching bench.py's methodology (a static-trip-count scan gets
+unrolled by XLA, recompiling the Pallas kernel per iteration).
 """
 
 import json
@@ -30,6 +31,30 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
+
+
+def _frame_loop(frame_scalar, frames):
+    """jit'd n-frame loop; `frame_scalar(theta)` renders one frame and
+    returns a ~0 float scalar consuming its output (serializes frames).
+    The trip count is traced so XLA cannot unroll the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(n):
+        def cond(s):
+            return s[0] < n
+
+        def body(s):
+            i, c = s
+            return i + 1, c + 1.0 + frame_scalar(c * 0.01)
+
+        _, c = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))
+        return c
+
+    n = jnp.int32(frames)
+    return lambda: run(n)
 
 
 def _timeit(fn, sync, rounds=3):
@@ -67,17 +92,9 @@ def bench_flat_256():
             tb.matw, mv.pal, width=W, height=H,
             tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
             track_steps=False, **mv.brick16_kw())
-        return rgba
+        return rgba[0, 0].astype(jnp.float32) * 1e-38
 
-    @jax.jit
-    def run():
-        def body(c, i):
-            rgba = frame(c * 0.01)
-            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
-        return c
-
-    dt = _timeit(run, _force_sync) / FRAMES
+    dt = _timeit(_frame_loop(frame, FRAMES), _force_sync) / FRAMES
     return {"metric": "flat_256_dense64", "value": round(W * H / dt),
             "unit": "rays/s"}
 
@@ -167,17 +184,9 @@ def bench_vox_brickmap():
             tb.matw, mv.pal, width=W, height=H,
             tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
             track_steps=False, **mv.brick16_kw())
-        return rgba
+        return rgba[0, 0].astype(jnp.float32) * 1e-38
 
-    @jax.jit
-    def run():
-        def body(c, i):
-            rgba = frame(c * 0.01)
-            return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
-        return c
-
-    dt = _timeit(run, _force_sync) / FRAMES
+    dt = _timeit(_frame_loop(frame, FRAMES), _force_sync) / FRAMES
     return {"metric": "vox_brickmap_720p", "value": round(W * H / dt),
             "unit": "rays/s"}
 
@@ -193,23 +202,18 @@ def bench_multiobj_shadow():
     FRAMES = 16
     merged = profiling_scene_merged()      # 512 crates -> one 256^3-ish grid
     mv = mega.MegaVolume(merged)
-    cam = profiling_camera(W / H)
+    cam0 = profiling_camera(W / H)
 
-    def frame(_):
+    def frame(theta):
+        # sub-voxel camera dolly: frames differ so XLA cannot hoist the
+        # render out of the loop, pose is still the profiling pose
+        cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=32,
                                        tile_w=64, fine_unroll=6,
                                        track_steps=False, use_brick16=True)
-        return out["image"]
+        return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
 
-    @jax.jit
-    def run():
-        def body(c, i):
-            img = frame(i)
-            return c + 1.0 + img[0, 0, 0].astype(jnp.float32) * 1e-38, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
-        return c
-
-    dt = _timeit(run, _force_sync, rounds=2) / FRAMES
+    dt = _timeit(_frame_loop(frame, FRAMES), _force_sync, rounds=2) / FRAMES
     # primary + sun shadow ray per pixel
     return {"metric": "multiobj_shadow_1080p",
             "value": round(2 * W * H / dt), "unit": "rays/s",

@@ -106,21 +106,31 @@ def main():
         return rgba
 
     def bench_cfg(kw):
+        # dynamic-bound while_loop: a static trip count makes XLA unroll
+        # the loop and Mosaic recompile the kernel per iteration (see
+        # bench.py docstring)
         @jax.jit
-        def run_frames():
-            def body(c, i):
+        def run_frames(n):
+            def cond(s):
+                return s[0] < n
+
+            def body(s):
+                i, c = s
                 rgba = render_frame(c * 0.01, kw)
-                return c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38, ()
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+                return i + 1, c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38
+
+            _, c = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), jnp.float32(0.0)))
             return c
 
+        nf = jnp.int32(FRAMES)
         t0 = time.perf_counter()
-        out = run_frames(); _force_sync(out)
+        out = run_frames(nf); _force_sync(out)
         compile_s = time.perf_counter() - t0
         best = 1e9
         for _ in range(2):
             t0 = time.perf_counter()
-            out = run_frames(); _force_sync(out)
+            out = run_frames(nf); _force_sync(out)
             best = min(best, (time.perf_counter() - t0) / FRAMES)
         rps = W * H / best
         print(json.dumps({"kernel": args.kernel,
