@@ -171,6 +171,18 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
     np.testing.assert_array_equal(np.asarray(aux2), np.asarray(aux))
 
+    # in-brick material resolve (pack_mat16 table, no vote loop):
+    # identical hits/depth/materials
+    _, t4, aux4 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, **mv.brick16_kw())
+    t4 = np.asarray(t4); aux4 = np.asarray(aux4)
+    np.testing.assert_array_equal(np.asarray(t), t4)
+    hit4 = t4 < 1e30
+    np.testing.assert_array_equal((aux4 & 255)[hit4],
+                                  (np.asarray(aux) & 255)[hit4])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
@@ -234,6 +246,8 @@ def test_set_voxel_incremental_equals_repack(scene):
                                   np.asarray(fresh.tables.runw))
     np.testing.assert_array_equal(np.asarray(mv.occw16),
                                   np.asarray(fresh.occw16))
+    np.testing.assert_array_equal(np.asarray(mv.matw16),
+                                  np.asarray(fresh.matw16))
     np.testing.assert_array_equal(np.asarray(mv.occ16),
                                   np.asarray(fresh.occ16))
 

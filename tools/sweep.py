@@ -94,9 +94,10 @@ def main():
                 bsize=tb.bsize, vpu=tb.vpu, width=W, height=H,
                 track_steps=False, **kw)
         elif args.kernel == "mega16":
+            matw = mv.matw16 if kw.get("mat16") else tb.matw
             rgba, _, _ = mega.render_mega_tiles(
                 cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
-                tb.matw, mv.pal, width=W, height=H,
+                matw, mv.pal, width=W, height=H,
                 track_steps=False, **mv.brick16_kw(), **kw)
         else:
             rgba, _, _ = indep.render_indep_tiles(

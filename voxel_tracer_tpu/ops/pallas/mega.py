@@ -170,6 +170,48 @@ def pack_mega16(grid: np.ndarray):
     return (jnp.asarray(occ), jnp.asarray(occw.view(np.int32)), (bx, by, bz))
 
 
+def pack_mat16(grid: np.ndarray) -> jnp.ndarray:
+    """16^3-brick material table: (NB16*8, 128) i32 — brick b's 4096
+    material bytes live in rows [b*8, b*8+8).  For voxel bit
+    idx = z*256 + y*16 + x: word = idx>>2, row = b*8 + (word>>7),
+    lane = word&127, byte = idx&3.
+
+    Lets the megakernel resolve the hit material inside the brick visit
+    (8 scalar-indexed row loads + a 3-level select + one lane gather)
+    instead of the serialized tile-end vote loop — the vote costs ~11 %
+    of the dense-scene frame (one cross-lane reduction per distinct hit
+    brick per tile).  VMEM-resident: use only when NB16*4 KiB fits
+    (the vote + matw_space='hbm' remains the giant-scene path)."""
+    gz, gy, gx = grid.shape
+    bx, by, bz = (gx + 15) // 16, (gy + 15) // 16, (gz + 15) // 16
+    nb = bx * by * bz
+    pad = np.zeros((bz * 16, by * 16, bx * 16), np.uint8)
+    pad[:gz, :gy, :gx] = grid
+    b = pad.reshape(bz, 16, by, 16, bx, 16).transpose(0, 2, 4, 1, 3, 5)
+    mw = b.reshape(nb, 1024, 4).astype(np.uint32)
+    words = (mw[:, :, 0] | (mw[:, :, 1] << 8) | (mw[:, :, 2] << 16)
+             | (mw[:, :, 3] << 24)).view(np.int32)         # (NB, 1024)
+    return jnp.asarray(words.reshape(nb * 8, 128))
+
+
+def set_voxel_mat16(matw16, bsize16, x, y, z, val):
+    """O(1) single-voxel material edit on the `pack_mat16` table."""
+    BX, BY, _ = bsize16
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    val = jnp.asarray(val, jnp.int32)
+    bidx = ((z >> 4) * BY + (y >> 4)) * BX + (x >> 4)
+    bit = ((z & 15) << 8) | ((y & 15) << 4) | (x & 15)
+    row = bidx * 8 + (bit >> 9)
+    lane = (bit >> 2) & 127
+    sh = (bit & 3) * 8
+    mword = matw16[row, lane]
+    return matw16.at[row, lane].set(
+        (mword & ~jnp.left_shift(jnp.int32(255), sh))
+        | jnp.left_shift(val & 255, sh))
+
+
 def set_voxel_tables(tb: MegaTables, x, y, z, val):
     """O(1) incremental single-voxel edit on the packed kernel tables.
 
@@ -303,7 +345,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       fine_unroll=1, track_steps=True, slice_depth=1,
                       traversal="brick", mat_rounds=128,
                       ray_source="camera", brick=BRICK, mat_bsize=None,
-                      matw_space="vmem"):
+                      matw_space="vmem", mat16=False):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     matw_space: 'vmem' (material table resident on-chip — small scenes) or
@@ -334,9 +376,15 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     assert 1 << log_b == brick
     assert brick == BRICK or traversal == "brick", \
         "brick=16 supports the 'brick' traversal only"
+    # mat16: resolve materials inside the brick visit from a pack_mat16
+    # table (8 scalar-row loads + select tree + lane gather) — no vote
+    if mat16:
+        assert brick == 16 and traversal == "brick" \
+            and matw_space == "vmem" and slice_depth == 1, \
+            "mat16 requires brick=16 'brick' traversal, VMEM matw, depth 1"
     # deferred materials: hit_mat carries packed hit info until a tile-end
     # vote loop (run mode: (bidx<<9 | bit); brick16: 8^3 (bidx8<<9 | bit8))
-    defer_mat = traversal == "run" or brick != BRICK
+    defer_mat = traversal == "run" or (brick != BRICK and not mat16)
     assert matw_space == "vmem" or defer_mat, \
         "matw_space='hbm' requires a deferred-material mode (run/brick16)"
     # trace-only consumers with fetch_mat=False never read materials —
@@ -820,7 +868,40 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             st["h_ax"] * 2 + jnp.where(sgn_ax > 0, 1, 0),
                             hit_ax)
 
-                        if brick == 16:
+                        if brick == 16 and mat16 and fetch_mat:
+                            # in-brick material resolve from the pack_mat16
+                            # table: brick bidx's 4096 bytes are rows
+                            # [bidx*8, bidx*8+8) — 8 scalar row loads, a
+                            # 3-level select on the word's row bits, one
+                            # lane gather, byte extract.  No vote loop.
+                            def with_mat(hm):
+                                hb = jnp.maximum(st["h_bit"], 0)
+                                wi = hb >> 2                   # word 0..1023
+                                lane = wi & 127
+                                # gather each row at the lane FIRST, then
+                                # select by the destination lane's row bits
+                                # (select-then-gather would apply another
+                                # lane's row choice at the source position)
+                                g = [jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        matw_ref[bidx * 8 + r, :][None, :],
+                                        shape), lane, axis=1)
+                                    for r in range(8)]
+                                sel = wi >> 7                  # row 0..7
+                                l1 = [jnp.where((sel & 1) == 0, g[i],
+                                                g[i + 1])
+                                      for i in (0, 2, 4, 6)]
+                                l2 = [jnp.where((sel & 2) == 0, l1[i],
+                                                l1[i + 1]) for i in (0, 2)]
+                                mword = jnp.where((sel & 4) == 0, l2[0],
+                                                  l2[1])
+                                mbyte = (mword >> ((hb & 3) * 8)) & 255
+                                return jnp.where(better, mbyte, hm)
+
+                            hit_mat = jax.lax.cond(
+                                jnp.any(better), with_mat,
+                                lambda hm: hm, hit_mat)
+                        elif brick == 16:
                             # defer: pack the 8^3-brick address of the hit
                             # voxel for the tile-end material vote
                             MBX, MBY, _ = mat_bsize
@@ -1215,7 +1296,7 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "sky_mode", "shading", "ambient", "word_gather",
                      "fetch_mat", "fine_unroll", "track_steps",
                      "interpret", "slice_depth", "traversal", "mat_rounds",
-                     "brick", "mat_bsize", "matw_space"))
+                     "brick", "mat_bsize", "matw_space", "mat16"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
@@ -1223,13 +1304,15 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       word_gather=True, fetch_mat=True, fine_unroll=1,
                       track_steps=True, interpret=False, slice_depth=1,
                       traversal="brick", mat_rounds=128, brick=BRICK,
-                      mat_bsize=None, matw_space="vmem"):
+                      mat_bsize=None, matw_space="vmem", mat16=False):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128).
 
     brick=16: pass the 16^3 tables from `pack_mega16` as (occ, occw) with
     `bsize` = 16-brick dims, keep the 8^3 `matw` and set `mat_bsize` to the
-    8-brick dims."""
+    8-brick dims.  mat16=True: `matw` is instead the (NB16*8, 128)
+    `pack_mat16` table and materials resolve in-brick (no vote loop) —
+    fastest when the table fits VMEM."""
     tile_h = tile_rows * LANES // tile_w
     assert width % tile_w == 0 and height % tile_h == 0, \
         f"{width}x{height} not divisible by {tile_w}x{tile_h} tiles"
@@ -1243,7 +1326,8 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
         slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
-        brick=brick, mat_bsize=mat_bsize, matw_space=matw_space)
+        brick=brick, mat_bsize=mat_bsize, matw_space=matw_space,
+        mat16=mat16)
 
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -1297,6 +1381,7 @@ class MegaVolume:
         self.volume = volume
         self.tables = pack_mega(volume.grid, volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(volume.grid)
+        self.matw16 = pack_mat16(volume.grid)
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
         self.pos = jnp.asarray(volume.pos, jnp.float32)
@@ -1306,6 +1391,7 @@ class MegaVolume:
         """Re-pack after dynamic edits (set_voxel analog, vv.cpp:377-432)."""
         self.tables = pack_mega(self.volume.grid, self.volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(self.volume.grid)
+        self.matw16 = pack_mat16(self.volume.grid)
         self.pal = pack_palette(self.volume.palette)
         self.pos = jnp.asarray(self.volume.pos, jnp.float32)
         self.rot = jnp.asarray(self.volume.rot, jnp.float32)
@@ -1315,6 +1401,9 @@ class MegaVolume:
         return dict(bsize=self.bsize16, brick=16,
                     mat_bsize=self.tables.bsize, vpu=self.tables.vpu)
 
+    def mat16_fits_vmem(self, budget_bytes=4 * 2**20):
+        return self.matw16.size * 4 <= budget_bytes
+
     def set_voxel(self, x: int, y: int, z: int, val: int):
         """O(1) single-voxel edit: host grid + all packed device tables
         (the fast-path analog of vv.cpp:377-432 — no full repack)."""
@@ -1322,6 +1411,8 @@ class MegaVolume:
         self.tables = set_voxel_tables(self.tables, x, y, z, val)
         self.occ16, self.occw16 = set_voxel_tables16(
             self.occ16, self.occw16, self.bsize16, x, y, z, val)
+        self.matw16 = set_voxel_mat16(self.matw16, self.bsize16, x, y, z,
+                                      val)
 
 
 def mega_camera(mv: MegaVolume, camera, sun_dir, width, height,
@@ -1500,13 +1591,14 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                      "tile_w", "ambient", "fine_unroll", "interpret",
                      "shadow_tile_rows", "track_steps", "real_width",
                      "real_height", "brick", "mat_bsize", "matw_space",
-                     "fine_iters"))
+                     "fine_iters", "mat16"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
                          interpret, shadow_tile_rows, track_steps,
                          real_width=None, real_height=None, brick=BRICK,
-                         mat_bsize=None, matw_space="vmem", fine_iters=24):
+                         mat_bsize=None, matw_space="vmem", fine_iters=24,
+                         mat16=False):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -1519,7 +1611,8 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         width=width, height=height, tile_rows=tile_rows, tile_w=tile_w,
         sky_mode="none", shading="raw", fine_unroll=fine_unroll,
         track_steps=track_steps, interpret=interpret, brick=brick,
-        mat_bsize=mat_bsize, matw_space=matw_space, fine_iters=fine_iters)
+        mat_bsize=mat_bsize, matw_space=matw_space, fine_iters=fine_iters,
+        mat16=mat16)
     tile_h = tile_rows * LANES // tile_w
     n = width * height
     t = untile(t.reshape(n), height, width, tile_h, tile_w)
@@ -1612,14 +1705,20 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     hp = -(-height // tile_h) * tile_h
     dummy_wsm = jnp.zeros((1, 1), jnp.int32)
     if use_brick16:
-        matw_space = "hbm" if tb.matw.size * 4 > 4 * 2**20 else "vmem"
         kw = dict(occ=mv.occ16, occw=mv.occw16, wsm=dummy_wsm,
                   bsize=mv.bsize16, brick=16, mat_bsize=tb.bsize,
-                  matw_space=matw_space, fine_iters=48)
+                  fine_iters=48)
+        if mv.mat16_fits_vmem():
+            # in-brick material resolve from the pack_mat16 table
+            kw.update(matw=mv.matw16, mat16=True)
+        else:
+            # giant scene: 8^3 matw stays in HBM, per-brick DMA vote
+            kw.update(matw=tb.matw, matw_space="hbm")
     else:
-        kw = dict(occ=tb.occ, occw=tb.occw, wsm=dummy_wsm, bsize=tb.bsize)
+        kw = dict(occ=tb.occ, occw=tb.occw, wsm=dummy_wsm, bsize=tb.bsize,
+                  matw=tb.matw)
     out = _render_lambert_mega(
-        cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, matw=tb.matw, pal=mv.pal,
+        cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, pal=mv.pal,
         camera=camera, vpu=tb.vpu, width=wp,
         height=hp, tile_rows=tile_rows, tile_w=tile_w, ambient=ambient,
         fine_unroll=fine_unroll, interpret=interpret,
