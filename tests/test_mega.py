@@ -183,6 +183,21 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal((aux4 & 255)[hit4],
                                   (np.asarray(aux) & 255)[hit4])
 
+    # patch traversal: one masked fine march per 2x2-brick window patch
+    # (per-lane occupancy-row select) — identical hits/depth/materials
+    _, t5, aux5 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="patch",
+        **mv.brick16_kw())
+    t5 = np.asarray(t5); aux5 = np.asarray(aux5)
+    np.testing.assert_allclose(
+        np.where(np.asarray(t) < 1e30, np.asarray(t), 1e30),
+        np.where(t5 < 1e30, t5, 1e30), atol=1e-5)
+    hit5 = t5 < 1e30
+    np.testing.assert_array_equal((aux5 & 255)[hit5],
+                                  (np.asarray(aux) & 255)[hit5])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
@@ -194,6 +209,34 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_allclose(t3[hit3], np.asarray(t)[hit3], atol=1e-5)
     np.testing.assert_array_equal((aux3 & 255)[hit3],
                                   (np.asarray(aux) & 255)[hit3])
+
+
+def test_mega_patch_multibrick_agrees():
+    """Patch traversal across a 4x4x4 super-brick grid (rays cross patch
+    and window boundaries) == brick traversal, on a 64^3 noise volume."""
+    vol = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
+    mv = mega.MegaVolume(vol)
+    cam = Camera.create((2.0, 1.4, -2.4), (0, 0, 0), 2.0)
+    cam_p = mega.mega_camera(mv, cam, jnp.asarray([-0.62, 0.47, -0.63]),
+                             96, 48)
+    kw = dict(width=96, height=48, fine_iters=96, fine_unroll=4,
+              interpret=True, tile_rows=12, tile_w=32)
+    _, t_a, aux_a = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, mat16=True, **kw, **mv.brick16_kw())
+    _, t_b, aux_b = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, mat16=True, traversal="patch", **kw,
+        **mv.brick16_kw())
+    t_a = np.asarray(t_a); t_b = np.asarray(t_b)
+    aux_a = np.asarray(aux_a); aux_b = np.asarray(aux_b)
+    hit_a = t_a < 1e30
+    np.testing.assert_array_equal(hit_a, t_b < 1e30)
+    np.testing.assert_allclose(t_a[hit_a], t_b[hit_a], atol=1e-5)
+    np.testing.assert_array_equal((aux_a & 255)[hit_a],
+                                  (aux_b & 255)[hit_a])
+    np.testing.assert_array_equal((aux_a >> mega.AUX_AX_SHIFT) & 7,
+                                  (aux_b >> mega.AUX_AX_SHIFT) & 7)
 
 
 def test_lambert_mega_brick16_agrees(scene):

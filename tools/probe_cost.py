@@ -57,21 +57,29 @@ def bench(vol, shading="flat", brick16=False):
                 track_steps=False, shading=shading)
         return rgba, t
 
+    # dynamic-bound loop: a static trip count gets unrolled (see bench.py)
     @jax.jit
-    def run_frames():
-        def body(c, i):
+    def run_frames(n):
+        def cond(s):
+            return s[0] < n
+
+        def body(s):
+            i, c = s
             rgba, t = frame(c * 0.01)
             probe = (rgba[0, 0].astype(jnp.float32) * 1e-38
                      + t[0, 0] * 1e-38)
-            return c + 1.0 + probe, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(FRAMES))
+            return i + 1, c + 1.0 + probe
+
+        _, c = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))
         return c
 
-    out = run_frames(); _force_sync(out)
+    nf = jnp.int32(FRAMES)
+    out = run_frames(nf); _force_sync(out)
     best = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
-        out = run_frames(); _force_sync(out)
+        out = run_frames(nf); _force_sync(out)
         best = min(best, (time.perf_counter() - t0) / FRAMES)
     return best
 

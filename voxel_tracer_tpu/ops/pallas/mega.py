@@ -374,17 +374,28 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     rbpu = 1.0 / bpu
     log_b = int(np.log2(brick))
     assert 1 << log_b == brick
-    assert brick == BRICK or traversal == "brick", \
-        "brick=16 supports the 'brick' traversal only"
+    assert brick == BRICK or traversal in ("brick", "patch"), \
+        "brick=16 supports the 'brick'/'patch' traversals only"
     # mat16: resolve materials inside the brick visit from a pack_mat16
     # table (8 scalar-row loads + select tree + lane gather) — no vote
     if mat16:
-        assert brick == 16 and traversal == "brick" \
-            and matw_space == "vmem" and slice_depth == 1, \
-            "mat16 requires brick=16 'brick' traversal, VMEM matw, depth 1"
+        assert brick == 16 and traversal in ("brick", "patch") \
+            and matw_space == "vmem" \
+            and not (slice_depth == 2 and traversal == "brick"), \
+            "mat16 requires brick=16 brick/patch traversal, VMEM matw, " \
+            "non-deep slice_depth (the fused-depth pair needs per-lane " \
+            "row bases)"
+    if traversal == "patch":
+        # patch mode: ONE masked fine march per 2x2-brick window patch
+        # with per-lane occupancy-row select — no per-brick fine re-entry
+        assert brick == 16 and slice_depth == 1, \
+            "patch traversal requires brick=16, slice_depth=1"
+        assert mat16 or not fetch_mat, \
+            "patch traversal resolves materials via mat16 only"
     # deferred materials: hit_mat carries packed hit info until a tile-end
     # vote loop (run mode: (bidx<<9 | bit); brick16: 8^3 (bidx8<<9 | bit8))
-    defer_mat = traversal == "run" or (brick != BRICK and not mat16)
+    defer_mat = traversal == "run" or (brick != BRICK and not mat16
+                                       and traversal != "patch")
     assert matw_space == "vmem" or defer_mat, \
         "matw_space='hbm' requires a deferred-material mode (run/brick16)"
     # trace-only consumers with fetch_mat=False never read materials —
@@ -510,6 +521,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         resolved = aligned | ~valid
         active0 = valid & aligned
         rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
+        rdu = jnp.clip(1.0 / du_, -BIG, BIG)
+        rdv = jnp.clip(1.0 / dv_, -BIG, BIG)
 
         hit_t = jnp.full(shape, BIG, jnp.float32)
         # deferred-material modes carry packed hit info (-1 = none) in the
@@ -539,8 +552,6 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
         if traversal == "run":
             # per-ray components along (k, u, v) for the run-box DDA
-            rdu = jnp.clip(1.0 / du_, -BIG, BIG)
-            rdv = jnp.clip(1.0 / dv_, -BIG, BIG)
             dlk = jnp.minimum(jnp.abs(rdk), BIG)
             dlu = jnp.minimum(jnp.abs(rdu), BIG)
             dlv = jnp.minimum(jnp.abs(rdv), BIG)
@@ -615,6 +626,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             iv1 = jnp.clip(jnp.floor(v_hi).astype(jnp.int32), 0, nv - 1)
             n_u = jnp.where(any_in, iu1 - iu0 + 1, 0)
             n_v = jnp.where(any_in, iv1 - iv0 + 1, 0)
+            if traversal == "patch":
+                # 2x2-brick patch rect (patch coords = cell coords >> 1)
+                pu0 = iu0 >> 1
+                pu1 = iu1 >> 1
+                pv0 = iv0 >> 1
+                pv1 = iv1 >> 1
+                n_pu = jnp.where(any_in, pu1 - pu0 + 1, 0)
+                n_pv = jnp.where(any_in, pv1 - pv0 + 1, 0)
 
             def brick_body(bi, carry2):
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
@@ -671,27 +690,47 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     bx0 = bxc.astype(jnp.float32) * rbpu
                     by0 = byc.astype(jnp.float32) * rbpu
                     bz0 = bzc.astype(jnp.float32) * rbpu
-                    tn = jnp.zeros(shape, jnp.float32)
-                    tf = jnp.full(shape, BIG, jnp.float32)
-                    b_ax = jnp.zeros(shape, jnp.int32)
-                    if deep:
-                        exts = (jnp.where(k == 0, ext_k, rbpu),
-                                jnp.where(k == 1, ext_k, rbpu),
-                                jnp.where(k == 2, ext_k, rbpu))
+                    if not deep and slice_depth == 1:
+                        # k-axis slab == the window interval: reuse t0/t1
+                        # (already tmin/tmax-clamped) and slab only u/v
+                        tn = t0
+                        tf = t1
+                        b_ax = jnp.broadcast_to(k, shape)
+                        for a_ax, oa, rd, c0 in ((ku, ou_, rdu, su),
+                                                 (kv, ov_, rdv, sv)):
+                            b0 = c0.astype(jnp.float32) * rbpu
+                            t1_ = (b0 - oa) * rd
+                            t2_ = (b0 + rbpu - oa) * rd
+                            lo = jnp.minimum(t1_, t2_)
+                            hi = jnp.maximum(t1_, t2_)
+                            upd = lo > tn
+                            b_ax = jnp.where(upd, a_ax, b_ax)
+                            tn = jnp.maximum(tn, lo)
+                            tf = jnp.minimum(tf, hi)
+                        enter = tn
                     else:
-                        exts = (rbpu, rbpu, rbpu)
-                    for a, (oa, rd, b0) in enumerate(
-                            ((ox, rdx, bx0), (oy, rdy, by0), (oz, rdz, bz0))):
-                        # rd finite (pre-clipped) -> no NaN possible
-                        t1_ = (b0 - oa) * rd
-                        t2_ = (b0 + exts[a] - oa) * rd
-                        lo = jnp.minimum(t1_, t2_)
-                        hi = jnp.maximum(t1_, t2_)
-                        upd = lo > tn
-                        b_ax = jnp.where(upd, a, b_ax)
-                        tn = jnp.maximum(tn, lo)
-                        tf = jnp.minimum(tf, hi)
-                    enter = jnp.maximum(tn, tmin)
+                        tn = jnp.zeros(shape, jnp.float32)
+                        tf = jnp.full(shape, BIG, jnp.float32)
+                        b_ax = jnp.zeros(shape, jnp.int32)
+                        if deep:
+                            exts = (jnp.where(k == 0, ext_k, rbpu),
+                                    jnp.where(k == 1, ext_k, rbpu),
+                                    jnp.where(k == 2, ext_k, rbpu))
+                        else:
+                            exts = (rbpu, rbpu, rbpu)
+                        for a, (oa, rd, b0) in enumerate(
+                                ((ox, rdx, bx0), (oy, rdy, by0),
+                                 (oz, rdz, bz0))):
+                            # rd finite (pre-clipped) -> no NaN possible
+                            t1_ = (b0 - oa) * rd
+                            t2_ = (b0 + exts[a] - oa) * rd
+                            lo = jnp.minimum(t1_, t2_)
+                            hi = jnp.maximum(t1_, t2_)
+                            upd = lo > tn
+                            b_ax = jnp.where(upd, a, b_ax)
+                            tn = jnp.maximum(tn, lo)
+                            tf = jnp.minimum(tf, hi)
+                        enter = jnp.maximum(tn, tmin)
                     cross = (tf - 1e-5 >= enter) & in_slice & ~done \
                         & (enter < hit_t)
 
@@ -801,13 +840,21 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                 word = read_word(bit)
                             vbit = (word >> (bit & 31)) & 1
                             is_hit = live_b & (vbit == 1)
-                            h_bit = jnp.where(is_hit, bit, st["h_bit"])
-                            h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
-                            h_ax = jnp.where(is_hit, st["ax"], st["h_ax"])
                             if deep:
+                                h_bit = jnp.where(is_hit, bit, st["h_bit"])
+                                h_ax = jnp.where(is_hit, st["ax"],
+                                                 st["h_ax"])
                                 h_hi = jnp.where(is_hit,
                                                  hi_sel.astype(jnp.int32),
                                                  st["h_hi"])
+                            else:
+                                # entry axis packed into the hit word: one
+                                # select per step instead of two
+                                h_bit = jnp.where(
+                                    is_hit, bit | (st["ax"] << 12),
+                                    st["h_bit"])
+                                h_ax = st["h_ax"]   # unused (packed above)
+                            h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
                             live = live_b & ~is_hit
 
                             use_x = (st["tmx"] < st["tmy"]) & (st["tmx"] < st["tmz"])
@@ -862,10 +909,16 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         t_new = enter + st["h_ft"] * (1.0 / vpu)
                         better = (st["h_bit"] >= 0) & (t_new < hit_t)
                         hit_t = jnp.where(better, t_new, hit_t)
-                        sgn_ax = pick3(sgnx, sgny, sgnz, st["h_ax"])
+                        if deep:
+                            h_axv = st["h_ax"]
+                            h_bitv = st["h_bit"]
+                        else:
+                            h_axv = (st["h_bit"] >> 12) & 3
+                            h_bitv = st["h_bit"] & 4095
+                        sgn_ax = pick3(sgnx, sgny, sgnz, h_axv)
                         hit_ax = jnp.where(
                             better,
-                            st["h_ax"] * 2 + jnp.where(sgn_ax > 0, 1, 0),
+                            h_axv * 2 + jnp.where(sgn_ax > 0, 1, 0),
                             hit_ax)
 
                         if brick == 16 and mat16 and fetch_mat:
@@ -875,8 +928,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # 3-level select on the word's row bits, one
                             # lane gather, byte extract.  No vote loop.
                             def with_mat(hm):
-                                hb = jnp.maximum(st["h_bit"], 0)
-                                wi = hb >> 2                   # word 0..1023
+                                hb = h_bitv       # 0..4095 (masked by
+                                wi = hb >> 2      # `better` on no-hit)
                                 lane = wi & 127
                                 # gather each row at the lane FIRST, then
                                 # select by the destination lane's row bits
@@ -905,7 +958,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # defer: pack the 8^3-brick address of the hit
                             # voxel for the tile-end material vote
                             MBX, MBY, _ = mat_bsize
-                            hb = jnp.maximum(st["h_bit"], 0)
+                            hb = h_bitv
                             vx = bxc * 16 + (hb & 15)
                             vy = byc * 16 + ((hb >> 4) & 15)
                             vz = bzc * 16 + (hb >> 8)
@@ -927,7 +980,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             def with_mat(hm):
                                 row = jnp.broadcast_to(
                                     matw_ref[bidx, :][None, :], shape)
-                                hb = jnp.maximum(st["h_bit"], 0)
+                                hb = h_bitv & 511   # in-range on no-hit
                                 mword = jnp.take_along_axis(
                                     row, hb >> 2, axis=1)
                                 mbyte = (mword >> ((hb & 3) * 8)) & 255
@@ -1108,6 +1161,237 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     occ_run > 0, occupied, lambda c: c,
                     (hit_t, h_info, hit_ax, steps, done_i, resolved_i))
 
+            def patch_body(bi, carry2):
+                """One 2x2-brick patch: a single masked fine march for the
+                whole patch with per-lane occupancy-row select (4 rows,
+                gather-then-select) — replaces up to 4 per-brick slab
+                tests + fine re-entries of the brick loop with one."""
+                hit_t, hit_mat, hit_ax, steps, done_i = carry2
+                done = done_i > 0
+                s = s_first                      # slice_depth == 1
+                s_ok = (s >= 0) & (s < nk)
+                pi_u = bi % jnp.maximum(n_pu, 1)
+                pi_v = bi // jnp.maximum(n_pu, 1)
+                pu = jnp.where(u_fwd, pu0 + pi_u, pu1 - pi_u)
+                pv = jnp.where(v_fwd, pv0 + pi_v, pv1 - pi_v)
+                u_b = pu * 2                     # patch-origin cell coords
+                v_b = pv * 2
+                cells = []                       # ci = b_u | (b_v << 1)
+                occ_any = jnp.int32(0)
+                for b_v in (0, 1):
+                    for b_u in (0, 1):
+                        cu = u_b + b_u
+                        cv = v_b + b_v
+                        c_ok = s_ok & (cu >= 0) & (cu < nu) \
+                            & (cv >= 0) & (cv < nv)
+                        bxc_c = pick3(s, cv, cu, k)
+                        byc_c = pick3(cu, s, cv, k)
+                        bzc_c = pick3(cv, cu, s, k)
+                        bidx_c = jnp.clip((bzc_c * BY + byc_c) * BX + bxc_c,
+                                          0, NB - 1)
+                        occ_c = jnp.where(c_ok, occ_ref[0, bidx_c], 0)
+                        occ_any = occ_any | occ_c
+                        cells.append((bidx_c, occ_c, c_ok))
+
+                def occupied(carry3):
+                    hit_t, hit_mat, hit_ax, steps, done_i = carry3
+                    done = done_i > 0
+                    # patch box: 2 bricks along u/v, 1 along k
+                    bx0 = pick3(s, v_b, u_b, k).astype(jnp.float32) * rbpu
+                    by0 = pick3(u_b, s, v_b, k).astype(jnp.float32) * rbpu
+                    bz0 = pick3(v_b, u_b, s, k).astype(jnp.float32) * rbpu
+                    exts = tuple(
+                        jnp.where(k == a, rbpu, 2.0 * rbpu)
+                        for a in range(3))
+                    tn = jnp.zeros(shape, jnp.float32)
+                    tf = jnp.full(shape, BIG, jnp.float32)
+                    b_ax = jnp.zeros(shape, jnp.int32)
+                    for a, (oa, rd, b0) in enumerate(
+                            ((ox, rdx, bx0), (oy, rdy, by0),
+                             (oz, rdz, bz0))):
+                        t1_ = (b0 - oa) * rd
+                        t2_ = (b0 + exts[a] - oa) * rd
+                        lo = jnp.minimum(t1_, t2_)
+                        hi = jnp.maximum(t1_, t2_)
+                        upd = lo > tn
+                        b_ax = jnp.where(upd, a, b_ax)
+                        tn = jnp.maximum(tn, lo)
+                        tf = jnp.minimum(tf, hi)
+                    enter = jnp.maximum(tn, tmin)
+                    cross = (tf - 1e-5 >= enter) & in_slice & ~done \
+                        & (enter < hit_t)
+
+                    def fine(carry4):
+                        hit_t, hit_mat, hit_ax, steps = carry4
+                        # per-cell occupancy rows (zeroed when invalid)
+                        rows = [jnp.where(
+                            c_ok & (occ_c > 0),
+                            jnp.broadcast_to(occw_ref[bidx_c, :][None, :],
+                                             shape),
+                            jnp.zeros(shape, jnp.int32))
+                            for (bidx_c, occ_c, c_ok) in cells]
+                        # patch-local coord bounds: 31 along u/v, 15 on k
+                        hix = jnp.where(k == 0, 15, 31)
+                        hiy = jnp.where(k == 1, 15, 31)
+                        hiz = jnp.where(k == 2, 15, 31)
+                        fex = (ox + dx * enter - bx0) * vpu
+                        fey = (oy + dy * enter - by0) * vpu
+                        fez = (oz + dz * enter - bz0) * vpu
+                        cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0,
+                                      hix)
+                        cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0,
+                                      hiy)
+                        cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0,
+                                      hiz)
+                        tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx
+                        tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy
+                        tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz
+                        tmx = jnp.minimum(tmx, BIG)
+                        tmy = jnp.minimum(tmy, BIG)
+                        tmz = jnp.minimum(tmz, BIG)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
+
+                        st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy,
+                                   tmz=tmz,
+                                   ft=jnp.zeros(shape, jnp.float32),
+                                   ax=ax0, live=cross.astype(jnp.int32),
+                                   h_bit=jnp.full(shape, -1, jnp.int32),
+                                   h_ft=jnp.zeros(shape, jnp.float32),
+                                   h_ax=jnp.zeros(shape, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            live_b = st["live"] > 0
+                            bit = ((((st["cz"] & 15) << 4)
+                                    + (st["cy"] & 15)) << 4) \
+                                + (st["cx"] & 15)
+                            cu_hi = pick3(st["cx"], st["cy"], st["cz"],
+                                          ku) >> 4
+                            cv_hi = pick3(st["cx"], st["cy"], st["cz"],
+                                          kv) >> 4
+                            lane = bit >> 5
+                            g = [jnp.take_along_axis(r, lane, axis=1)
+                                 for r in rows]
+                            w_v0 = jnp.where(cu_hi == 0, g[0], g[1])
+                            w_v1 = jnp.where(cu_hi == 0, g[2], g[3])
+                            word = jnp.where(cv_hi == 0, w_v0, w_v1)
+                            vbit = (word >> (bit & 31)) & 1
+                            is_hit = live_b & (vbit == 1)
+                            # patch-local packed hit coords (5 bits each)
+                            hp = (st["cz"] << 10) | (st["cy"] << 5) \
+                                | st["cx"]
+                            h_bit = jnp.where(is_hit, hp, st["h_bit"])
+                            h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
+                            h_ax = jnp.where(is_hit, st["ax"], st["h_ax"])
+                            live = live_b & ~is_hit
+
+                            use_x = (st["tmx"] < st["tmy"]) \
+                                & (st["tmx"] < st["tmz"])
+                            use_y = ~(st["tmx"] < st["tmy"]) \
+                                & (st["tmy"] < st["tmz"])
+                            ax = jnp.where(use_x, 0,
+                                           jnp.where(use_y, 1, 2))
+                            cx2 = st["cx"] + jnp.where(use_x, sgnx, 0)
+                            cy2 = st["cy"] + jnp.where(use_y, sgny, 0)
+                            use_z = ~use_x & ~use_y
+                            cz2 = st["cz"] + jnp.where(use_z, sgnz, 0)
+                            ft2 = jnp.where(use_x, st["tmx"],
+                                            jnp.where(use_y, st["tmy"],
+                                                      st["tmz"]))
+                            tmx2 = st["tmx"] + jnp.where(use_x, dlx, 0.0)
+                            tmy2 = st["tmy"] + jnp.where(use_y, dly, 0.0)
+                            tmz2 = st["tmz"] + jnp.where(use_z, dlz, 0.0)
+                            oob = (((cx2 & ~hix) | (cy2 & ~hiy)
+                                    | (cz2 & ~hiz)) != 0)
+                            live = live & ~oob
+                            out = dict(cx=cx2, cy=cy2, cz=cz2, tmx=tmx2,
+                                       tmy=tmy2, tmz=tmz2, ft=ft2,
+                                       ax=ax.astype(jnp.int32),
+                                       live=live.astype(jnp.int32),
+                                       h_bit=h_bit, h_ft=h_ft, h_ax=h_ax,
+                                       stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] \
+                                    + jnp.where(live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) \
+                                & (jnp.sum(st["live"]) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(0), st0))
+
+                        t_new = enter + st["h_ft"] * (1.0 / vpu)
+                        better = (st["h_bit"] >= 0) & (t_new < hit_t)
+                        hit_t = jnp.where(better, t_new, hit_t)
+                        sgn_ax = pick3(sgnx, sgny, sgnz, st["h_ax"])
+                        hit_ax = jnp.where(
+                            better,
+                            st["h_ax"] * 2 + jnp.where(sgn_ax > 0, 1, 0),
+                            hit_ax)
+
+                        if mat16 and fetch_mat:
+                            # per-cell mat16 gather-then-select; the hit's
+                            # cell comes from its patch-local u/v high bits
+                            def with_mat(hm):
+                                hp = jnp.maximum(st["h_bit"], 0)
+                                hcx = hp & 31
+                                hcy = (hp >> 5) & 31
+                                hcz = hp >> 10
+                                hbit = ((((hcz & 15) << 4)
+                                         + (hcy & 15)) << 4) + (hcx & 15)
+                                hu_hi = pick3(hcx, hcy, hcz, ku) >> 4
+                                hv_hi = pick3(hcx, hcy, hcz, kv) >> 4
+                                wi = hbit >> 2
+                                lane = wi & 127
+                                sel = wi >> 7
+                                mws = []
+                                for (bidx_c, _occ_c, _c_ok) in cells:
+                                    gm = [jnp.take_along_axis(
+                                        jnp.broadcast_to(
+                                            matw_ref[bidx_c * 8 + r, :]
+                                            [None, :], shape),
+                                        lane, axis=1) for r in range(8)]
+                                    l1 = [jnp.where((sel & 1) == 0, gm[i],
+                                                    gm[i + 1])
+                                          for i in (0, 2, 4, 6)]
+                                    l2 = [jnp.where((sel & 2) == 0, l1[i],
+                                                    l1[i + 1])
+                                          for i in (0, 2)]
+                                    mws.append(jnp.where((sel & 4) == 0,
+                                                         l2[0], l2[1]))
+                                m_v0 = jnp.where(hu_hi == 0, mws[0],
+                                                 mws[1])
+                                m_v1 = jnp.where(hu_hi == 0, mws[2],
+                                                 mws[3])
+                                mword = jnp.where(hv_hi == 0, m_v0, m_v1)
+                                mbyte = (mword >> ((hbit & 3) * 8)) & 255
+                                return jnp.where(better, mbyte, hm)
+
+                            hit_mat = jax.lax.cond(
+                                jnp.any(better), with_mat,
+                                lambda hm: hm, hit_mat)
+                        return (hit_t, hit_mat, hit_ax, st["stp"])
+
+                    hit_t, hit_mat, hit_ax, steps = jax.lax.cond(
+                        jnp.any(cross), fine,
+                        lambda c: c, (hit_t, hit_mat, hit_ax, steps))
+                    return (hit_t, hit_mat, hit_ax, steps, done_i)
+
+                return jax.lax.cond(
+                    occ_any > 0, occupied, lambda c: c,
+                    (hit_t, hit_mat, hit_ax, steps, done_i))
+
             if traversal == "run":
                 n_ru = jnp.where(any_in, (iu1 >> 3) - (iu0 >> 3) + 1, 0)
                 total = n_v * n_ru
@@ -1118,6 +1402,15 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     0, n_runs, run_body,
                     (hit_t, hit_mat, hit_ax, steps, done_i, resolved_i))
                 hit_t, hit_mat, hit_ax, steps, done_i, resolved_i = carry2
+            elif traversal == "patch":
+                total = n_pu * n_pv
+                overflow = total > max_bricks_per_tile
+                resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
+                n_patches = jnp.minimum(total, max_bricks_per_tile)
+                carry2 = jax.lax.fori_loop(
+                    0, n_patches, patch_body,
+                    (hit_t, hit_mat, hit_ax, steps, done_i))
+                hit_t, hit_mat, hit_ax, steps, done_i = carry2
             else:
                 total = n_u * n_v
                 overflow = total > max_bricks_per_tile
