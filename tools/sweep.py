@@ -46,6 +46,11 @@ DEFAULT_CONFIGS = {
         dict(tile_rows=32, tile_w=64, fine_unroll=6, fine_iters=48),
         dict(tile_rows=64, tile_w=128, fine_unroll=12, fine_iters=48),
     ],
+    "mega32": [
+        dict(tile_rows=136, tile_w=128, fine_unroll=6, fine_iters=96),
+        dict(tile_rows=136, tile_w=128, fine_unroll=8, fine_iters=96),
+        dict(tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=96),
+    ],
     "indep": [
         dict(tile_rows=8, tile_w=32, fine_unroll=6),
         dict(tile_rows=16, tile_w=32, fine_unroll=6),
@@ -62,7 +67,7 @@ DEFAULT_CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("kernel", choices=("mega", "mega16", "indep", "lit"))
+    ap.add_argument("kernel", choices=("mega", "mega16", "mega32", "indep", "lit"))
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=32)
@@ -99,6 +104,12 @@ def main():
                 cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
                 matw, mv.pal, width=W, height=H,
                 track_steps=False, **mv.brick16_kw(), **kw)
+        elif args.kernel == "mega32":
+            kw32 = mv.brick32_kw()
+            rgba, _, _ = mega.render_mega_tiles(
+                cam_p, mv.occ32, mv.occw32, jnp.zeros((1, 1), jnp.int32),
+                tb.matw, mv.pal, width=W, height=H,
+                track_steps=False, **kw32, **kw)
         else:
             rgba, _, _ = indep.render_indep_tiles(
                 cam_p, occb, tb.occw, tb.matw, mv.pal,

@@ -1,0 +1,635 @@
+"""Fused Pallas kernels for differentiable emission/absorption rendering.
+
+TPU-native replacement for the XLA wavefront in ops/diff.py (same math:
+exact per-voxel segment lengths from the two-level DDA, the capability the
+reference lacks entirely — SURVEY.md §7 stages 3/4).  The XLA path is
+gather-bound: per step it issues N random voxel fetches (measured ~125 M
+gather/s on a v5e chip -> 0.38 M fwd rays/s at 512^2).  These kernels
+restructure the march the TPU way:
+
+- rays tiled (R, 128), marched brick-by-brick with the coherent slice/rect
+  scan of mega.py (vv.cpp:449-870's transformation, applied to integration
+  instead of first-hit);
+- the visited 8^3 brick's density/albedo live in VMEM rows; per-step
+  fetches are lane gathers + a 2-level select (no HBM traffic in the hot
+  loop);
+- the backward pass replays the identical march (rematerialization — no
+  tape, BASELINE.json north star) and scatter-adds per-voxel gradients
+  with an MXU trick: per sublane row, a one-hot lane matrix (built from an
+  iota compare) right-multiplies the 16 masked gradient planes, turning
+  the unsupported lane-scatter into small (16,128)x(128,128) matmuls
+  (measured 1.5 G scatter/s vs 0.125 G for XLA scatter).
+
+Traversal-order contract: radiance compositing is order-dependent, so the
+rect scan must visit bricks in per-ray t order.  The window loop marches
+brick layers along the tile's major axis k (near-to-far), and each layer's
+rect is scanned v-outer/u-inner — exactly t-ordered for every ray whose
+(du, dv) signs match the scan direction.  The scan direction is a scalar
+kernel input, and the wrapper runs FOUR quadrant passes (u±, v±): each
+ray marches in exactly the pass matching its own direction signs, and a
+tile with no rays in the current quadrant exits at the first liveness
+vote, so the extra passes cost only the raygen/slab skeleton.  Only rays
+whose k component fights the tile majority axis direction (rare: the tile
+must straddle the major-axis plane of direction space) are flagged in
+`flags` and excluded — callers mask them or fall back to ops/diff.py.
+
+Grid tables are packed with differentiable jnp reshapes (pure
+permutation), so the backward unpack is exact.  v1 keeps all tables
+VMEM-resident (grids up to 64^3 with albedo); larger grids ride the
+brick-sharded mesh axis (parallel/grid_shard.py) or the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3e37
+LANES = 128
+BRICK = 8
+
+
+# ---------------------------------------------------------------------------
+# Table packing (differentiable: pure reshape/transpose permutations)
+# ---------------------------------------------------------------------------
+
+def brick_dims(shape_zyx):
+    gz, gy, gx = shape_zyx
+    assert gx % BRICK == 0 and gy % BRICK == 0 and gz % BRICK == 0, \
+        "diffint grids must be multiples of 8 (pad the field)"
+    return gx // BRICK, gy // BRICK, gz // BRICK
+
+
+def pack_rows(field):
+    """(Z, Y, X) -> (NB*4, 128) rows; brick b = (bz*BY+by)*BX+bx owns rows
+    [b*4, b*4+4); in-brick bit = z*64 + y*8 + x, row = b*4 + (bit>>7),
+    lane = bit & 127.  jnp, differentiable."""
+    gz, gy, gx = field.shape
+    bx, by, bz = gx // BRICK, gy // BRICK, gz // BRICK
+    f = field.reshape(bz, BRICK, by, BRICK, bx, BRICK)
+    f = jnp.transpose(f, (0, 2, 4, 1, 3, 5))          # (bz,by,bx, z,y,x)
+    return f.reshape(bx * by * bz * 4, LANES)
+
+
+def unpack_rows(rows, shape_zyx):
+    """Inverse of pack_rows."""
+    gz, gy, gx = shape_zyx
+    bx, by, bz = gx // BRICK, gy // BRICK, gz // BRICK
+    f = rows.reshape(bz, by, bx, BRICK, BRICK, BRICK)
+    f = jnp.transpose(f, (0, 3, 1, 4, 2, 5))
+    return f.reshape(gz, gy, gx)
+
+
+# ---------------------------------------------------------------------------
+# Kernel factory
+# ---------------------------------------------------------------------------
+
+def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
+                 t_eps=0.0, mode="fwd"):
+    """mode: 'fwd' (outputs per-ray color/trans/depth/flags) or 'bwd'
+    (outputs d_sig/d_alb row tables, accumulated across the ray grid)."""
+    BX, BY, BZ = bsize
+    NB = BX * BY * BZ
+    bpu = vpu / BRICK          # bricks per unit
+    rbpu = 1.0 / bpu
+    rvpu = 1.0 / vpu
+    shape = (tile_rows, LANES)
+
+    def kernel(*refs):
+        if mode == "fwd":
+            (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+             sig_ref, a0_ref, a1_ref, a2_ref,
+             cr_ref, cg_ref, cb_ref, tr_ref, dp_ref, fl_ref) = refs
+        else:
+            (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+             sig_ref, a0_ref, a1_ref, a2_ref,
+             gcr_r, gcg_r, gcb_r, gt_r, gd_r,
+             ctr_r, ctg_r, ctb_r, tfin_r, dtot_r,
+             ds_ref, da0_ref, da1_ref, da2_ref, acc_ref) = refs
+            # zero the gradient tables once (grid programs run sequentially)
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                z = jnp.zeros_like(ds_ref)
+                ds_ref[:] = z
+                da0_ref[:] = z
+                da1_ref[:] = z
+                da2_ref[:] = z
+
+        ox, oy, oz = oxr[:], oyr[:], ozr[:]
+        dx, dy, dz = dxr[:], dyr[:], dzr[:]
+        d3 = (dx, dy, dz)
+        o3 = (ox, oy, oz)
+        size = (BX * BRICK / vpu, BY * BRICK / vpu, BZ * BRICK / vpu)
+
+        # ---- volume slab entry ------------------------------------------
+        tmin = jnp.zeros(shape, jnp.float32)
+        tmax = jnp.full(shape, BIG, jnp.float32)
+        for a in range(3):
+            rd = jnp.clip(1.0 / d3[a], -BIG, BIG)
+            t1 = (0.0 - o3[a]) * rd
+            t2 = (size[a] - o3[a]) * rd
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        valid = (tmax - 1e-6) >= tmin
+
+        def pick3(a, b, c, axis):
+            return jnp.where(axis == 0, a, jnp.where(axis == 1, b, c))
+
+        # ---- majority axis + directions (scalar) -------------------------
+        mdx = jnp.sum(jnp.where(valid, dx, 0.0))
+        mdy = jnp.sum(jnp.where(valid, dy, 0.0))
+        mdz = jnp.sum(jnp.where(valid, dz, 0.0))
+        amx, amy, amz = jnp.abs(mdx), jnp.abs(mdy), jnp.abs(mdz)
+        k = jnp.where((amx >= amy) & (amx >= amz), 0,
+                      jnp.where(amy >= amz, 1, 2)).astype(jnp.int32)
+        ku = (k + 1) % 3
+        kv = (k + 2) % 3
+        ksign = jnp.where(pick3(mdx, mdy, mdz, k) >= 0.0, 1, -1)
+        # scan quadrant: a scalar input, NOT the tile majority — the
+        # wrapper runs one pass per (u, v) direction-sign pair and each
+        # ray marches only in the pass matching its own signs, keeping
+        # the rect scan t-ordered without flagging mixed-sign tiles
+        u_fwd = quad_ref[0] > 0
+        v_fwd = quad_ref[1] > 0
+
+        ok_ = pick3(ox, oy, oz, k); dk_ = pick3(dx, dy, dz, k)
+        ou_ = pick3(ox, oy, oz, ku); du_ = pick3(dx, dy, dz, ku)
+        ov_ = pick3(ox, oy, oz, kv); dv_ = pick3(dx, dy, dz, kv)
+        nk = pick3(BX, BY, BZ, k)
+        nu = pick3(BX, BY, BZ, ku)
+        nv = pick3(BX, BY, BZ, kv)
+
+        # k-fighters: marching against the tile's major-axis direction
+        # would reverse the window order — flag + exclude (callers mask
+        # or re-trace; only tiles straddling the major-axis plane of
+        # direction space contain any)
+        kf = jnp.float32(ksign)
+        fight = dk_ * kf <= 1e-7
+        in_quad = (jnp.where(u_fwd, du_ >= 0.0, du_ < 0.0)
+                   & jnp.where(v_fwd, dv_ >= 0.0, dv_ < 0.0))
+        marched = valid & ~fight & in_quad
+
+        rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
+        rdx = jnp.clip(1.0 / dx, -BIG, BIG)
+        rdy = jnp.clip(1.0 / dy, -BIG, BIG)
+        rdz = jnp.clip(1.0 / dz, -BIG, BIG)
+        rdu = jnp.clip(1.0 / du_, -BIG, BIG)
+        rdv = jnp.clip(1.0 / dv_, -BIG, BIG)
+        dlx = jnp.minimum(jnp.abs(rdx), BIG) * rvpu
+        dly = jnp.minimum(jnp.abs(rdy), BIG) * rvpu
+        dlz = jnp.minimum(jnp.abs(rdz), BIG) * rvpu
+        sgnx = jnp.where(jnp.signbit(dx), -1, 1).astype(jnp.int32)
+        sgny = jnp.where(jnp.signbit(dy), -1, 1).astype(jnp.int32)
+        sgnz = jnp.where(jnp.signbit(dz), -1, 1).astype(jnp.int32)
+        stpx = jnp.maximum(sgnx, 0).astype(jnp.float32)
+        stpy = jnp.maximum(sgny, 0).astype(jnp.float32)
+        stpz = jnp.maximum(sgnz, 0).astype(jnp.float32)
+
+        s_begin = jnp.where(ksign > 0, 0, nk - 1)
+
+        if mode == "bwd":
+            gcr, gcg, gcb = gcr_r[:], gcg_r[:], gcb_r[:]
+            gt, gd = gt_r[:], gd_r[:]
+            ctr, ctg, ctb = ctr_r[:], ctg_r[:], ctb_r[:]
+            t_final, d_total = tfin_r[:], dtot_r[:]
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+        def window_body(carry):
+            si, T, Cr, Cg, Cb, D = carry
+            s = s_begin + si * ksign
+            k0 = s.astype(jnp.float32) * rbpu
+            k1 = (s + 1).astype(jnp.float32) * rbpu
+            ta = (k0 - ok_) * rdk
+            tb = (k1 - ok_) * rdk
+            t0 = jnp.maximum(jnp.minimum(ta, tb), tmin)
+            t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
+            in_slice = marched & (t1 >= t0) & (t1 >= 0.0) & (T > t_eps)
+
+            # window footprint on the brick grid (cross-lane reductions)
+            tc0 = jnp.maximum(t0, 0.0)
+            ua = (ou_ + du_ * tc0) * bpu
+            ub = (ou_ + du_ * t1) * bpu
+            va = (ov_ + dv_ * tc0) * bpu
+            vb = (ov_ + dv_ * t1) * bpu
+            hi = jnp.full(shape, 1e9, jnp.float32)
+            lo = jnp.full(shape, -1e9, jnp.float32)
+            u_lo = jnp.min(jnp.where(in_slice, jnp.minimum(ua, ub), hi))
+            u_hi = jnp.max(jnp.where(in_slice, jnp.maximum(ua, ub), lo))
+            v_lo = jnp.min(jnp.where(in_slice, jnp.minimum(va, vb), hi))
+            v_hi = jnp.max(jnp.where(in_slice, jnp.maximum(va, vb), lo))
+            any_in = jnp.any(in_slice)
+            iu0 = jnp.clip(jnp.floor(u_lo).astype(jnp.int32), 0, nu - 1)
+            iu1 = jnp.clip(jnp.floor(u_hi).astype(jnp.int32), 0, nu - 1)
+            iv0 = jnp.clip(jnp.floor(v_lo).astype(jnp.int32), 0, nv - 1)
+            iv1 = jnp.clip(jnp.floor(v_hi).astype(jnp.int32), 0, nv - 1)
+            n_u = jnp.where(any_in, iu1 - iu0 + 1, 0)
+            n_v = jnp.where(any_in, iv1 - iv0 + 1, 0)
+
+            def visit_body(rb, carry2):
+                T, Cr, Cg, Cb, D = carry2
+                ui = rb % jnp.maximum(n_u, 1)
+                vi = rb // jnp.maximum(n_u, 1)
+                # v-outer/u-inner, both direction-ordered: per-ray t order
+                su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
+                sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
+                bxc = pick3(s, sv, su, k)
+                byc = pick3(su, s, sv, k)
+                bzc = pick3(sv, su, s, k)
+                bidx = (bzc * BY + byc) * BX + bxc
+
+                # brick slab: u/v planes intersected with the k window
+                tn = t0
+                tf = t1
+                for oa, rd, c0 in ((ou_, rdu, su), (ov_, rdv, sv)):
+                    b0 = c0.astype(jnp.float32) * rbpu
+                    t1_ = (b0 - oa) * rd
+                    t2_ = (b0 + rbpu - oa) * rd
+                    tn = jnp.maximum(tn, jnp.minimum(t1_, t2_))
+                    tf = jnp.minimum(tf, jnp.maximum(t1_, t2_))
+                cross = (tf > tn) & in_slice & (T > t_eps)
+
+                def fine(carry3):
+                    T, Cr, Cg, Cb, D = carry3
+                    base = bidx * 4
+                    sig_rows = [jnp.broadcast_to(
+                        sig_ref[base + r, :][None, :], shape)
+                        for r in range(4)]
+                    alb_rows = [[jnp.broadcast_to(
+                        aref[base + r, :][None, :], shape)
+                        for r in range(4)]
+                        for aref in (a0_ref, a1_ref, a2_ref)]
+
+                    def fetch(rows, lane, rsel):
+                        g = [jnp.take_along_axis(rw, lane, axis=1)
+                             for rw in rows]
+                        g01 = jnp.where((rsel & 1) == 0, g[0], g[1])
+                        g23 = jnp.where((rsel & 1) == 0, g[2], g[3])
+                        return jnp.where((rsel & 2) == 0, g01, g23)
+
+                    enter = jnp.maximum(tn, 0.0)
+                    bx0 = bxc.astype(jnp.float32) * rbpu
+                    by0 = byc.astype(jnp.float32) * rbpu
+                    bz0 = bzc.astype(jnp.float32) * rbpu
+                    fex = (ox + dx * enter - bx0) * vpu
+                    fey = (oy + dy * enter - by0) * vpu
+                    fez = (oz + dz * enter - bz0) * vpu
+                    cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0, 7)
+                    cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0, 7)
+                    cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0, 7)
+                    tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx \
+                        * rvpu + enter
+                    tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy \
+                        * rvpu + enter
+                    tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz \
+                        * rvpu + enter
+                    tmx = jnp.minimum(tmx, BIG)
+                    tmy = jnp.minimum(tmy, BIG)
+                    tmz = jnp.minimum(tmz, BIG)
+
+                    st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy,
+                               tmz=tmz, t=enter,
+                               live=cross.astype(jnp.int32),
+                               T=T, Cr=Cr, Cg=Cg, Cb=Cb, D=D)
+
+                    def fine_step(st):
+                        live_b = st["live"] > 0
+                        bit = (((st["cz"] << 3) + st["cy"]) << 3) + st["cx"]
+                        lane = bit & 127
+                        rsel = bit >> 7
+                        sg = fetch(sig_rows, lane, rsel)
+                        t_next = jnp.minimum(
+                            jnp.minimum(st["tmx"], st["tmy"]),
+                            jnp.minimum(st["tmz"], tf))
+                        dl = jnp.maximum(t_next - st["t"], 0.0)
+                        e = jnp.exp(-jnp.maximum(sg, 0.0) * dl)
+                        w = jnp.where(live_b, st["T"] * (1.0 - e), 0.0)
+                        ar = fetch(alb_rows[0], lane, rsel)
+                        ag = fetch(alb_rows[1], lane, rsel)
+                        ab = fetch(alb_rows[2], lane, rsel)
+                        seg_d = st["t"] + 0.5 * dl
+                        out = dict(st)
+                        if mode == "bwd":
+                            # replayed prefix -> suffix sums (diff.py bwd)
+                            Cr2 = st["Cr"] + w * ar
+                            Cg2 = st["Cg"] + w * ag
+                            Cb2 = st["Cb"] + w * ab
+                            D2 = st["D"] + w * seg_d
+                            sufr = ctr - Cr2
+                            sufg = ctg - Cg2
+                            sufb = ctb - Cb2
+                            sufd = d_total - D2
+                            Te = st["T"] * e
+                            gsig = (gcr * (Te * ar - sufr)
+                                    + gcg * (Te * ag - sufg)
+                                    + gcb * (Te * ab - sufb)
+                                    + gd * (Te * seg_d - sufd)
+                                    - gt * t_final) * dl
+                            gsig = jnp.where(live_b & (sg > 0.0), gsig, 0.0)
+                            galr = jnp.where(live_b, gcr * w, 0.0)
+                            galg = jnp.where(live_b, gcg * w, 0.0)
+                            galb = jnp.where(live_b, gcb * w, 0.0)
+                            # ---- MXU histogram scatter --------------------
+                            # 16 masked planes: 4 brick rows x 4 quantities
+                            planes = []
+                            for r in range(4):
+                                m = ((rsel == r) & live_b).astype(
+                                    jnp.float32)
+                                for q in (gsig, galr, galg, galb):
+                                    planes.append(m * q)
+                            acc = acc_ref[:]
+                            for i in range(tile_rows):
+                                col = jnp.transpose(lane[i:i + 1, :])
+                                P = (col == iota_l).astype(jnp.float32)
+                                Vi = jnp.concatenate(
+                                    [p[i:i + 1, :] for p in planes], axis=0)
+                                acc = acc + jax.lax.dot_general(
+                                    Vi, P, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                            acc_ref[:] = acc
+                            out["Cr"], out["Cg"], out["Cb"] = Cr2, Cg2, Cb2
+                            out["D"] = D2
+                        else:
+                            out["Cr"] = st["Cr"] + w * ar
+                            out["Cg"] = st["Cg"] + w * ag
+                            out["Cb"] = st["Cb"] + w * ab
+                            out["D"] = st["D"] + w * seg_d
+                        out["T"] = jnp.where(live_b, st["T"] * e, st["T"])
+
+                        use_x = (st["tmx"] < st["tmy"]) \
+                            & (st["tmx"] < st["tmz"])
+                        use_y = ~(st["tmx"] < st["tmy"]) \
+                            & (st["tmy"] < st["tmz"])
+                        use_z = ~use_x & ~use_y
+                        cx2 = st["cx"] + jnp.where(use_x, sgnx, 0)
+                        cy2 = st["cy"] + jnp.where(use_y, sgny, 0)
+                        cz2 = st["cz"] + jnp.where(use_z, sgnz, 0)
+                        out["tmx"] = st["tmx"] + jnp.where(use_x, dlx, 0.0)
+                        out["tmy"] = st["tmy"] + jnp.where(use_y, dly, 0.0)
+                        out["tmz"] = st["tmz"] + jnp.where(use_z, dlz, 0.0)
+                        oob = ((cx2 | cy2 | cz2) & ~7) != 0
+                        ended = oob | (t_next >= tf - 0.0)
+                        out["live"] = (live_b & ~ended
+                                       & (out["T"] > t_eps)).astype(
+                                           jnp.int32)
+                        out["cx"], out["cy"], out["cz"] = cx2, cy2, cz2
+                        out["t"] = t_next
+                        return out
+
+                    def fine_cond(c):
+                        fi, st = c
+                        return (fi < fine_iters) & (jnp.sum(st["live"]) > 0)
+
+                    def fine_body(c):
+                        fi, st = c
+                        for _ in range(fine_unroll):
+                            st = fine_step(st)
+                        return (fi + fine_unroll, st)
+
+                    if mode == "bwd":
+                        acc_ref[:] = jnp.zeros((16, LANES), jnp.float32)
+                    _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                               (jnp.int32(0), st0))
+                    if mode == "bwd":
+                        # flush the visit's histogram into the row tables
+                        base = bidx * 4
+                        acc = acc_ref[:]
+                        for r in range(4):
+                            ds_ref[base + r, :] += acc[4 * r, :]
+                            da0_ref[base + r, :] += acc[4 * r + 1, :]
+                            da1_ref[base + r, :] += acc[4 * r + 2, :]
+                            da2_ref[base + r, :] += acc[4 * r + 3, :]
+                    return (st["T"], st["Cr"], st["Cg"], st["Cb"], st["D"])
+
+                return jax.lax.cond(jnp.any(cross), fine,
+                                    lambda c: c, (T, Cr, Cg, Cb, D))
+
+            n_rect = n_u * n_v
+            T, Cr, Cg, Cb, D = jax.lax.fori_loop(
+                0, n_rect, visit_body, (T, Cr, Cg, Cb, D))
+            return (si + 1, T, Cr, Cg, Cb, D)
+
+        def window_cond(carry):
+            si, T, *_ = carry
+            return (si < nk) & jnp.any(marched & (T > t_eps))
+
+        init = (jnp.int32(0), jnp.ones(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        _, T, Cr, Cg, Cb, D = jax.lax.while_loop(window_cond, window_body,
+                                                 init)
+
+        if mode == "fwd":
+            cr_ref[:] = Cr
+            cg_ref[:] = Cg
+            cb_ref[:] = Cb
+            tr_ref[:] = T
+            dp_ref[:] = D
+            # bit 0: k-fighter (excluded everywhere); bit 1: marched in
+            # THIS quadrant pass (the wrapper merges passes with it)
+            fl_ref[:] = ((valid & fight).astype(jnp.int32)
+                         | (marched.astype(jnp.int32) << 1))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _ray_blocks(n_tiles, tile_rows):
+    blk = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return blk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
+                              "fine_unroll", "t_eps", "interpret"))
+def integrate_fwd_tiles(quad, rays6, sig_rows, a0, a1, a2, *, bsize, vpu,
+                        tile_rows=8, fine_iters=24, fine_unroll=4,
+                        t_eps=0.0, interpret=False):
+    """quad: (2,) int32 scan-direction signs (1 = +).  rays6: 6 arrays
+    (n_tiles*tile_rows, 128) local o/d components.  Returns
+    (Cr, Cg, Cb, T, D, flags) in the same tiling."""
+    rows = rays6[0].shape[0]
+    n_tiles = rows // tile_rows
+    kernel = _make_kernel(bsize, vpu, tile_rows=tile_rows,
+                          fine_iters=fine_iters, fine_unroll=fine_unroll,
+                          t_eps=t_eps, mode="fwd")
+    blk = _ray_blocks(n_tiles, tile_rows)
+    fixed = lambda i: (0, 0)
+    tbl = lambda a: pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 6
+        + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)],
+        out_specs=[blk] * 6,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 5
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(quad, *rays6, sig_rows, a0, a1, a2)
+    return outs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
+                              "fine_unroll", "t_eps", "interpret"))
+def integrate_bwd_tiles(quad, rays6, sig_rows, a0, a1, a2, cts, totals, *,
+                        bsize, vpu, tile_rows=8, fine_iters=24,
+                        fine_unroll=4, t_eps=0.0, interpret=False):
+    """cts: (gCr, gCg, gCb, gT, gD); totals: (Cr, Cg, Cb, T_final, D_total)
+    — all (rows, 128).  Returns (d_sig_rows, d_a0, d_a1, d_a2)."""
+    rows = rays6[0].shape[0]
+    n_tiles = rows // tile_rows
+    kernel = _make_kernel(bsize, vpu, tile_rows=tile_rows,
+                          fine_iters=fine_iters, fine_unroll=fine_unroll,
+                          t_eps=t_eps, mode="bwd")
+    blk = _ray_blocks(n_tiles, tile_rows)
+    fixed = lambda i: (0, 0)
+    tbl = lambda a: pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
+    tshape = jax.ShapeDtypeStruct(sig_rows.shape, jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 6
+        + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)] + [blk] * 10,
+        out_specs=[tbl(sig_rows)] * 4,
+        out_shape=[tshape] * 4,
+        scratch_shapes=[pltpu.VMEM((16, LANES), jnp.float32)],
+        interpret=interpret,
+    )(quad, *rays6, sig_rows, a0, a1, a2, *cts, *totals)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# User-facing differentiable renderer (ops/diff.py drop-in, kernel-backed)
+# ---------------------------------------------------------------------------
+
+def _tile_rays(origin_l, dir_l, tile_rows):
+    """(N, 3) -> 6 arrays (rows, 128) padded; returns (rays6, n, rows)."""
+    n = origin_l.shape[0]
+    per = tile_rows * LANES
+    rows = -(-n // per) * tile_rows
+    pad = rows * LANES - n
+
+    def prep(x, fill):
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(rows, LANES)
+
+    # padding rays sit at +1e6 pointing +x: their slab exit is far behind
+    # the origin, so `valid` is false and they never march
+    rays6 = (prep(origin_l[:, 0], 1e6), prep(origin_l[:, 1], 1e6),
+             prep(origin_l[:, 2], 1e6), prep(dir_l[:, 0], 1.0),
+             prep(dir_l[:, 1], 0.0), prep(dir_l[:, 2], 0.0))
+    return rays6, n, rows
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def render_density_mega(sigma, albedo, origin_l, dir_l, vpu,
+                        tile_rows: int = 8, t_eps: float = 0.0,
+                        interpret: bool = False):
+    """Kernel-backed emission/absorption rendering (diff.render_density
+    semantics + a `flags` output marking axis-fighting rays whose
+    composition order the tile could not honor; mask or re-trace them).
+
+    sigma (Z,Y,X) f32, albedo (Z,Y,X,3) f32, rays local-space (N,3)."""
+    out, _ = _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows,
+                      t_eps, interpret)
+    return out
+
+
+def _quads():
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    return [jnp.stack([u, v]) for u in (one, zero) for v in (one, zero)]
+
+
+def _rdm_run_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
+                 interpret):
+    bsize = brick_dims(sigma.shape)
+    sig_rows = pack_rows(sigma)
+    a0 = pack_rows(albedo[..., 0])
+    a1 = pack_rows(albedo[..., 1])
+    a2 = pack_rows(albedo[..., 2])
+    rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
+
+    # four quadrant passes: each ray marches in exactly the pass whose
+    # (u, v) scan signs match its own direction; tiles with no rays in
+    # the pass quadrant exit at the first liveness vote
+    zero = jnp.zeros((rows, LANES), jnp.float32)
+    acc = [zero, zero, zero, zero, zero]       # Cr Cg Cb D (+T via part)
+    tr_acc = zero
+    part_any = jnp.zeros((rows, LANES), jnp.int32)
+    fight = jnp.zeros((rows, LANES), jnp.int32)
+    for quad in _quads():
+        cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
+            quad, rays6, sig_rows, a0, a1, a2, bsize=bsize, vpu=float(vpu),
+            tile_rows=tile_rows, t_eps=t_eps, interpret=interpret)
+        part = (fl >> 1) & 1
+        pf = part.astype(jnp.float32)
+        acc = [acc[0] + pf * cr, acc[1] + pf * cg, acc[2] + pf * cb,
+               acc[3] + pf * dp, None]
+        tr_acc = tr_acc + pf * tr
+        part_any = part_any | part
+        fight = fight | (fl & 1)
+    trans = jnp.where(part_any > 0, tr_acc, 1.0)
+
+    def untile(x):
+        return x.reshape(-1)[:n]
+
+    color = jnp.stack([untile(acc[0]), untile(acc[1]), untile(acc[2])],
+                      axis=-1)
+    out = {"color": color, "trans": untile(trans), "depth": untile(acc[3]),
+           "flags": untile(fight)}
+    totals_t = (acc[0], acc[1], acc[2], trans, acc[3])
+    saved = (sigma, albedo, origin_l, dir_l, vpu, totals_t)
+    return out, saved
+
+
+def _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
+             interpret):
+    return _rdm_run_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows,
+                        t_eps, interpret)
+
+
+def _rdm_bwd(tile_rows, t_eps, interpret, saved, g):
+    sigma, albedo, origin_l, dir_l, vpu, totals_t = saved
+    bsize = brick_dims(sigma.shape)
+    sig_rows = pack_rows(sigma)
+    a0 = pack_rows(albedo[..., 0])
+    a1 = pack_rows(albedo[..., 1])
+    a2 = pack_rows(albedo[..., 2])
+    rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
+
+    def tile_ct(x, fill=0.0):
+        x = jnp.concatenate(
+            [x, jnp.full((rows * LANES - n,), fill, jnp.float32)])
+        return x.reshape(rows, LANES)
+
+    gC = g["color"]
+    cts = (tile_ct(gC[:, 0]), tile_ct(gC[:, 1]), tile_ct(gC[:, 2]),
+           tile_ct(g["trans"]), tile_ct(g["depth"]))
+    ds = da0 = da1 = da2 = None
+    for quad in _quads():
+        o = integrate_bwd_tiles(
+            quad, rays6, sig_rows, a0, a1, a2, cts, totals_t, bsize=bsize,
+            vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
+            interpret=interpret)
+        if ds is None:
+            ds, da0, da1, da2 = o
+        else:
+            ds, da0, da1, da2 = (ds + o[0], da0 + o[1], da1 + o[2],
+                                 da2 + o[3])
+    d_sigma = unpack_rows(ds, sigma.shape)
+    d_albedo = jnp.stack([unpack_rows(d, sigma.shape)
+                          for d in (da0, da1, da2)], axis=-1)
+    return (d_sigma, d_albedo, None, None, None)
+
+
+render_density_mega.defvjp(_rdm_fwd, _rdm_bwd)

@@ -170,6 +170,61 @@ def pack_mega16(grid: np.ndarray):
     return (jnp.asarray(occ), jnp.asarray(occw.view(np.int32)), (bx, by, bz))
 
 
+def pack_mega32(grid: np.ndarray):
+    """32^3 super-brick tables: occupancy scalar + EIGHT (128,) word rows
+    per brick (32768 bits = 1024 i32 words; brick b owns rows
+    [b*8, b*8+8), word w lives at row b*8 + (w>>7), lane w&127).
+
+    One more rung up the super-brick ladder (see pack_mega16): a 64^3
+    grid collapses to 2x2x2 bricks, so a whole frame traverses at most 8
+    brick visits per tile — the per-visit slab/setup/vote skeleton all but
+    vanishes.  The price is the fine march's occupancy fetch: a 3-level
+    select over the brick's 8 staged word rows per step (vs one row for
+    16^3).  Bit index inside a brick: z*1024 + y*32 + x.  Materials keep
+    the 8^3 `matw` and resolve in the tile-end vote (deferred mode).
+    """
+    gz, gy, gx = grid.shape
+    bx, by, bz = (gx + 31) // 32, (gy + 31) // 32, (gz + 31) // 32
+    nb = bx * by * bz
+    pad = np.zeros((bz * 32, by * 32, bx * 32), np.uint8)
+    pad[:gz, :gy, :gx] = grid
+    b = pad.reshape(bz, 32, by, 32, bx, 32).transpose(0, 2, 4, 1, 3, 5)
+    bits_ = (b.reshape(nb, 32768) != 0).astype(np.uint32)
+    w = bits_.reshape(nb, 1024, 32)
+    shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+    occw = (w * shifts[None, None, :]).sum(axis=2,
+                                           dtype=np.uint64).astype(np.uint32)
+    occ = bits_.any(axis=1).astype(np.int32).reshape(1, nb)
+    return (jnp.asarray(occ),
+            jnp.asarray(occw.view(np.int32).reshape(nb * 8, 128)),
+            (bx, by, bz))
+
+
+def set_voxel_tables32(occ32, occw32, bsize32, x, y, z, val):
+    """O(1) single-voxel edit on the `pack_mega32` tables (vv.cpp:377-432
+    analog for the 32^3 super-brick layout)."""
+    BX, BY, _ = bsize32
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    bidx = ((z >> 5) * BY + (y >> 5)) * BX + (x >> 5)
+    bit = ((z & 31) << 10) | ((y & 31) << 5) | (x & 31)
+    word = bit >> 5
+    row = bidx * 8 + (word >> 7)
+    lane = word & 127
+    mask = jnp.int32(1) << (bit & 31)
+    old = occw32[row, lane]
+    solid = jnp.asarray(val, jnp.int32) != 0
+    new = jnp.where(solid, old | mask, old & ~mask)
+    occw32 = occw32.at[row, lane].set(new)
+    # occupancy flag: set on solid; on clear, re-check the brick's 8 rows
+    brick_any = jnp.any(
+        jax.lax.dynamic_slice(occw32, (bidx * 8, 0), (8, 128)) != 0)
+    occ32 = occ32.at[0, bidx].set(
+        jnp.where(solid, 1, brick_any.astype(jnp.int32)))
+    return occ32, occw32
+
+
 def pack_mat16(grid: np.ndarray) -> jnp.ndarray:
     """16^3-brick material table: (NB16*8, 128) i32 — brick b's 4096
     material bytes live in rows [b*8, b*8+8).  For voxel bit
@@ -345,7 +400,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       fine_unroll=1, track_steps=True, slice_depth=1,
                       traversal="brick", mat_rounds=128,
                       ray_source="camera", brick=BRICK, mat_bsize=None,
-                      matw_space="vmem", mat16=False):
+                      matw_space="vmem", mat16=False, footprint="corners"):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     matw_space: 'vmem' (material table resident on-chip — small scenes) or
@@ -373,9 +428,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     bpu = vpu / brick
     rbpu = 1.0 / bpu
     log_b = int(np.log2(brick))
-    assert 1 << log_b == brick
+    assert 1 << log_b == brick and brick in (8, 16, 32)
     assert brick == BRICK or traversal in ("brick", "patch"), \
-        "brick=16 supports the 'brick'/'patch' traversals only"
+        "brick=16/32 supports the 'brick'/'patch' traversals only"
+    assert brick != 32 or traversal == "brick", \
+        "brick=32 supports the 'brick' traversal only"
+    # h_bit packs the in-brick voxel bit plus the entry axis; the axis
+    # shift must clear the bit field (9/12/15 bits for brick 8/16/32)
+    ax_shift = 3 * log_b if brick == 32 else 12
     # mat16: resolve materials inside the brick visit from a pack_mat16
     # table (8 scalar-row loads + select tree + lane gather) — no vote
     if mat16:
@@ -487,7 +547,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             1, -1).astype(jnp.int32)
 
         corners = []
-        if ray_source == "camera":
+        if ray_source == "camera" and footprint == "corners":
             # ---- tile corner rays (scalars): bound slice footprints -------
             # The tile frustum's section on a k-plane is the hull of the 4
             # corner-ray intersections — scalar math replaces 4 cross-lane
@@ -588,7 +648,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
             in_slice = active0 & ~done & (t1 >= t0) & (t1 >= 0.0)
 
-            if ray_source == "camera":
+            if ray_source == "camera" and footprint == "corners":
                 # scalar corner-ray footprint on the window's two k-planes
                 u_lo = jnp.float32(1e9); u_hi = jnp.float32(-1e9)
                 v_lo = jnp.float32(1e9); v_hi = jnp.float32(-1e9)
@@ -602,7 +662,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         v_lo = jnp.minimum(v_lo, vv)
                         v_hi = jnp.maximum(v_hi, vv)
             else:
-                # arbitrary ray lists: per-ray extents + 4 reductions
+                # per-ray extents + 4 cross-lane reductions.  For camera
+                # tiles (footprint='active') this is tighter than the
+                # corner hull: done rays drop out of `in_slice`, so later
+                # windows shrink to the still-unresolved silhouette rays
                 tc0 = jnp.maximum(t0, 0.0)
                 ua = (ou_ + du_ * tc0) * bpu
                 ub = (ou_ + du_ * t1) * bpu
@@ -760,6 +823,28 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             def read_word(bit):
                                 return jnp.take_along_axis(
                                     occ_row, bit >> 5, axis=1)
+                        elif brick == 32:
+                            # 32^3 brick: 1024 occupancy words in 8 rows —
+                            # stage all 8, gather each at the word's lane,
+                            # then a 3-level select on the word's row bits
+                            occ_rows32 = [
+                                jnp.broadcast_to(
+                                    occw_ref[bidx * 8 + r, :][None, :],
+                                    shape) for r in range(8)]
+
+                            def read_word(bit):
+                                word = bit >> 5
+                                lane = word & 127
+                                g = [jnp.take_along_axis(row, lane, axis=1)
+                                     for row in occ_rows32]
+                                sel = word >> 7
+                                l1 = [jnp.where((sel & 1) == 0, g[i],
+                                                g[i + 1])
+                                      for i in (0, 2, 4, 6)]
+                                l2 = [jnp.where((sel & 2) == 0, l1[i],
+                                                l1[i + 1]) for i in (0, 2)]
+                                return jnp.where((sel & 4) == 0, l2[0],
+                                                 l2[1])
                         elif word_gather:
                             # brick's 512 occupancy bits: ONE row load,
                             # lane-gathered per step (8 bricks per row)
@@ -851,11 +936,11 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                 # entry axis packed into the hit word: one
                                 # select per step instead of two
                                 h_bit = jnp.where(
-                                    is_hit, bit | (st["ax"] << 12),
+                                    is_hit, bit | (st["ax"] << ax_shift),
                                     st["h_bit"])
                                 h_ax = st["h_ax"]   # unused (packed above)
                             h_ft = jnp.where(is_hit, st["ft"], st["h_ft"])
-                            live = live_b & ~is_hit
+                            live = live_b & (vbit == 0)
 
                             use_x = (st["tmx"] < st["tmy"]) & (st["tmx"] < st["tmz"])
                             use_y = ~(st["tmx"] < st["tmy"]) & (st["tmy"] < st["tmz"])
@@ -913,8 +998,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             h_axv = st["h_ax"]
                             h_bitv = st["h_bit"]
                         else:
-                            h_axv = (st["h_bit"] >> 12) & 3
-                            h_bitv = st["h_bit"] & 4095
+                            h_axv = (st["h_bit"] >> ax_shift) & 3
+                            h_bitv = st["h_bit"] & ((1 << ax_shift) - 1)
                         sgn_ax = pick3(sgnx, sgny, sgnz, h_axv)
                         hit_ax = jnp.where(
                             better,
@@ -954,14 +1039,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             hit_mat = jax.lax.cond(
                                 jnp.any(better), with_mat,
                                 lambda hm: hm, hit_mat)
-                        elif brick == 16:
+                        elif brick != BRICK:
                             # defer: pack the 8^3-brick address of the hit
                             # voxel for the tile-end material vote
                             MBX, MBY, _ = mat_bsize
                             hb = h_bitv
-                            vx = bxc * 16 + (hb & 15)
-                            vy = byc * 16 + ((hb >> 4) & 15)
-                            vz = bzc * 16 + (hb >> 8)
+                            vx = bxc * brick + (hb & (brick - 1))
+                            vy = byc * brick + ((hb >> log_b) & (brick - 1))
+                            vz = bzc * brick + (hb >> (2 * log_b))
                             if deep:
                                 # k coordinate's 2nd-brick offset
                                 hh = jnp.where(st["h_hi"] > 0, 16, 0)
@@ -1589,7 +1674,8 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "sky_mode", "shading", "ambient", "word_gather",
                      "fetch_mat", "fine_unroll", "track_steps",
                      "interpret", "slice_depth", "traversal", "mat_rounds",
-                     "brick", "mat_bsize", "matw_space", "mat16"))
+                     "brick", "mat_bsize", "matw_space", "mat16",
+                     "footprint"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
@@ -1597,7 +1683,8 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       word_gather=True, fetch_mat=True, fine_unroll=1,
                       track_steps=True, interpret=False, slice_depth=1,
                       traversal="brick", mat_rounds=128, brick=BRICK,
-                      mat_bsize=None, matw_space="vmem", mat16=False):
+                      mat_bsize=None, matw_space="vmem", mat16=False,
+                      footprint="corners"):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128).
 
@@ -1620,7 +1707,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         fine_unroll=fine_unroll, track_steps=track_steps,
         slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
         brick=brick, mat_bsize=mat_bsize, matw_space=matw_space,
-        mat16=mat16)
+        mat16=mat16, footprint=footprint)
 
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -1675,16 +1762,25 @@ class MegaVolume:
         self.tables = pack_mega(volume.grid, volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(volume.grid)
         self.matw16 = pack_mat16(volume.grid)
+        self.occ32 = None          # 32^3 tables packed on first use
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
         self.pos = jnp.asarray(volume.pos, jnp.float32)
         self.pivot = jnp.asarray(volume.pivot, jnp.float32)
+
+    def _ensure32(self):
+        if self.occ32 is None:
+            self.occ32, self.occw32, self.bsize32 = pack_mega32(
+                self.volume.grid)
 
     def refresh(self):
         """Re-pack after dynamic edits (set_voxel analog, vv.cpp:377-432)."""
         self.tables = pack_mega(self.volume.grid, self.volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(self.volume.grid)
         self.matw16 = pack_mat16(self.volume.grid)
+        if self.occ32 is not None:
+            self.occ32, self.occw32, self.bsize32 = pack_mega32(
+                self.volume.grid)
         self.pal = pack_palette(self.volume.palette)
         self.pos = jnp.asarray(self.volume.pos, jnp.float32)
         self.rot = jnp.asarray(self.volume.rot, jnp.float32)
@@ -1692,6 +1788,13 @@ class MegaVolume:
     def brick16_kw(self):
         """kwargs for render_mega_tiles in 16^3 super-brick mode."""
         return dict(bsize=self.bsize16, brick=16,
+                    mat_bsize=self.tables.bsize, vpu=self.tables.vpu)
+
+    def brick32_kw(self):
+        """kwargs for render_mega_tiles in 32^3 super-brick mode
+        (pass `self.occ32, self.occw32` as the occ/occw tables)."""
+        self._ensure32()
+        return dict(bsize=self.bsize32, brick=32,
                     mat_bsize=self.tables.bsize, vpu=self.tables.vpu)
 
     def mat16_fits_vmem(self, budget_bytes=4 * 2**20):
@@ -1706,6 +1809,9 @@ class MegaVolume:
             self.occ16, self.occw16, self.bsize16, x, y, z, val)
         self.matw16 = set_voxel_mat16(self.matw16, self.bsize16, x, y, z,
                                       val)
+        if self.occ32 is not None:
+            self.occ32, self.occw32 = set_voxel_tables32(
+                self.occ32, self.occw32, self.bsize32, x, y, z, val)
 
 
 def mega_camera(mv: MegaVolume, camera, sun_dir, width, height,
