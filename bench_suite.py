@@ -152,10 +152,34 @@ def bench_diff_lambert_512():
         lambda p: palette_fit_loss(p, scene, o, d, tgt)))
     dt_s = _timeit(lambda: sgrad(pal), sync)
 
+    # Pallas integrate kernels (ops/pallas/diffint.py): the framework's
+    # fast path — brick-staged march + MXU-histogram backward scatter
+    from voxel_tracer_tpu.ops.pallas import diffint
+    ot = diffint.tile_raster(o, 512, 512)
+    dt_ = diffint.tile_raster(d, 512, 512)
+    tgt_img = jax.random.uniform(jax.random.PRNGKey(7), (N, 3))
+
+    @jax.jit
+    def pfwd(sig, alb):
+        out = diffint.render_density_mega(sig, alb, ot, dt_, 20.0, 8,
+                                          1e-4, False)
+        return out["color"].sum() + out["trans"].sum()
+
+    def ploss(sig, alb):
+        out = diffint.render_density_mega(sig, alb, ot, dt_, 20.0, 8,
+                                          1e-4, False)
+        return jnp.mean((out["color"] - tgt_img) ** 2)
+
+    pgrad = jax.jit(jax.grad(ploss, argnums=(0, 1)))
+    dt_pf = _timeit(lambda: pfwd(sigma, albedo), sync)
+    dt_pb = _timeit(lambda: pgrad(sigma, albedo), sync)
+
     return {"metric": "diff_lambert_512",
-            "value": round(N / dt_b),
+            "value": round(N / dt_pb),
             "unit": "bwd_rays/s",
-            "fwd_rays_per_s": round(N / dt_f),
+            "pallas_fwd_rays_per_s": round(N / dt_pf),
+            "xla_bwd_rays_per_s": round(N / dt_b),
+            "xla_fwd_rays_per_s": round(N / dt_f),
             "surface_palette_bwd_rays_per_s": round(N / dt_s)}
 
 
@@ -223,39 +247,44 @@ def bench_multiobj_shadow():
 def bench_inverse_128():
     import jax, jax.numpy as jnp
     import optax
-    from voxel_tracer_tpu.ops import diff
+    from voxel_tracer_tpu.models.camera import Camera, rays_for_image
+    from voxel_tracer_tpu.ops.pallas import diffint
     from voxel_tracer_tpu.utils.timer import _force_sync
 
     G = 128
     VIEWS = 32
-    RAYS_PER_VIEW = 64 * 64
-    MAX_STEPS = 192
-    N = VIEWS * RAYS_PER_VIEW
+    VW = VH = 64                  # 64x64 px per posed view
+    N = VIEWS * VW * VH
+    VPU = 20.0
+    center = G / (2 * VPU)
+
+    # 32 posed pinhole views on a ring, rays in square-tile order so each
+    # (8,128) kernel tile is a coherent 32x32 pixel block
+    o_all, d_all = [], []
+    for v in range(VIEWS):
+        th = 2 * np.pi * v / VIEWS
+        pos = (center + 2.2 * G / VPU / 4 * np.cos(th), center * 1.35,
+               center + 2.2 * G / VPU / 4 * np.sin(th))
+        cam = Camera.create(pos, (center, center, center), VW / VH)
+        o, d = rays_for_image(cam, VW, VH)
+        o_all.append(diffint.tile_raster(o, VH, VW))
+        d_all.append(diffint.tile_raster(d, VH, VW))
+    o_l = jnp.concatenate(o_all)
+    d_l = jnp.concatenate(d_all)
 
     key = jax.random.PRNGKey(1)
-    ks = jax.random.split(key, 4)
-    # posed views: ray bundles from 32 camera positions on a ring (local)
-    th = jnp.arange(VIEWS) * (2 * np.pi / VIEWS)
-    centers = jnp.stack([G / 40.0 + (G / 13.0) * jnp.cos(th),
-                         jnp.full((VIEWS,), G / 40.0),
-                         G / 40.0 + (G / 13.0) * jnp.sin(th)], axis=1)
-    look = jnp.array([G / 40.0, G / 40.0, G / 40.0])
-    fwd = look - centers
-    fwd = fwd / jnp.linalg.norm(fwd, axis=1, keepdims=True)
-    jitter = jax.random.normal(ks[0], (VIEWS, RAYS_PER_VIEW, 3)) * 0.15
-    d_l = fwd[:, None, :] + jitter
-    d_l = (d_l / jnp.linalg.norm(d_l, axis=-1, keepdims=True)).reshape(N, 3)
-    o_l = jnp.broadcast_to(centers[:, None, :],
-                           (VIEWS, RAYS_PER_VIEW, 3)).reshape(N, 3)
-    target = jax.random.uniform(ks[1], (N, 3))
-
-    params = {"s": jax.random.uniform(ks[2], (G, G, G)),
-              "a": jax.random.uniform(ks[3], (G, G, G, 3))}
+    ks = jax.random.split(key, 3)
+    target = jax.random.uniform(ks[0], (N, 3))
+    params = {"s": jax.random.uniform(ks[1], (G, G, G)),
+              "a": jax.random.uniform(ks[2], (G, G, G, 3))}
     opt = optax.adam(1e-2)
     opt_state = opt.init(params)
 
+    # 128^3 + albedo exceeds VMEM: the z-slab sequencer runs 8 VMEM-sized
+    # kernel calls per pass with the march state carried ray-wise
     def loss(p):
-        out = diff.render_density(p["s"], p["a"], o_l, d_l, 20.0, MAX_STEPS)
+        out = diffint.render_density_slabs(p["s"], p["a"], o_l, d_l, VPU,
+                                           8, 8, 1e-4, False)
         return jnp.mean((out["color"] - target) ** 2)
 
     @jax.jit
@@ -264,16 +293,16 @@ def bench_inverse_128():
         up, st = opt.update(g, st, p)
         return optax.apply_updates(p, up), st, l
 
-    sync = lambda x: jax.block_until_ready(x)
-    params, opt_state, l0 = step(params, opt_state); sync(l0)
+    params, opt_state, l0 = step(params, opt_state); _force_sync(l0)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        params, opt_state, l = step(params, opt_state); sync(l)
+        params, opt_state, l = step(params, opt_state); _force_sync(l)
         best = min(best, time.perf_counter() - t0)
     return {"metric": "inverse_128_32views",
             "value": round(1.0 / best, 3), "unit": "train_steps/s",
-            "bwd_rays_per_s": round(N / best)}
+            "bwd_rays_per_s": round(N / best),
+            "rays_per_step": N}
 
 
 def main():

@@ -103,10 +103,12 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
     def kernel(*refs):
         if mode == "fwd":
             (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+             tin_r, crin_r, cgin_r, cbin_r, din_r,
              sig_ref, a0_ref, a1_ref, a2_ref,
              cr_ref, cg_ref, cb_ref, tr_ref, dp_ref, fl_ref) = refs
         else:
             (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+             tin_r, crin_r, cgin_r, cbin_r, din_r,
              sig_ref, a0_ref, a1_ref, a2_ref,
              gcr_r, gcg_r, gcb_r, gt_r, gd_r,
              ctr_r, ctg_r, ctb_r, tfin_r, dtot_r,
@@ -150,12 +152,6 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
         ku = (k + 1) % 3
         kv = (k + 2) % 3
         ksign = jnp.where(pick3(mdx, mdy, mdz, k) >= 0.0, 1, -1)
-        # scan quadrant: a scalar input, NOT the tile majority — the
-        # wrapper runs one pass per (u, v) direction-sign pair and each
-        # ray marches only in the pass matching its own signs, keeping
-        # the rect scan t-ordered without flagging mixed-sign tiles
-        u_fwd = quad_ref[0] > 0
-        v_fwd = quad_ref[1] > 0
 
         ok_ = pick3(ox, oy, oz, k); dk_ = pick3(dx, dy, dz, k)
         ou_ = pick3(ox, oy, oz, ku); du_ = pick3(dx, dy, dz, ku)
@@ -170,9 +166,15 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
         # direction space contain any)
         kf = jnp.float32(ksign)
         fight = dk_ * kf <= 1e-7
-        in_quad = (jnp.where(u_fwd, du_ >= 0.0, du_ < 0.0)
-                   & jnp.where(v_fwd, dv_ >= 0.0, dv_ < 0.0))
-        marched = valid & ~fight & in_quad
+        # slab-sequencing class: quad_ref[0] = 0 (whole volume) or +-1 —
+        # only rays whose GLOBAL dz sign matches march in this call (the
+        # slab wrapper orders z-slab calls along each class's dz sign so
+        # cross-slab composition stays t-ordered).  Int compares, not a
+        # select between i1 vectors (Mosaic cannot legalize those).
+        zcls = quad_ref[0]
+        dzsgn = (dz >= 0.0).astype(jnp.int32) * 2 - 1
+        okz = (zcls == 0) | (dzsgn == zcls)
+        marched_base = valid & ~fight & okz
 
         rdk = jnp.clip(1.0 / dk_, -BIG, BIG)
         rdx = jnp.clip(1.0 / dx, -BIG, BIG)
@@ -199,229 +201,243 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
             t_final, d_total = tfin_r[:], dtot_r[:]
             iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
-        def window_body(carry):
-            si, T, Cr, Cg, Cb, D = carry
-            s = s_begin + si * ksign
-            k0 = s.astype(jnp.float32) * rbpu
-            k1 = (s + 1).astype(jnp.float32) * rbpu
-            ta = (k0 - ok_) * rdk
-            tb = (k1 - ok_) * rdk
-            t0 = jnp.maximum(jnp.minimum(ta, tb), tmin)
-            t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
-            in_slice = marched & (t1 >= t0) & (t1 >= 0.0) & (T > t_eps)
+        def run_quad(q, state):
+            # internal quadrant phases: (u, v) scan signs per iteration —
+            # (+,+), (+,-), (-,+), (-,-).  Each ray marches in exactly the
+            # phase matching its own direction signs (t-ordered rect
+            # scans); phases with no rays exit at the first window vote.
+            uq = 1 - (q >> 1)
+            vq = 1 - (q & 1)
+            u_fwd = uq > 0
+            v_fwd = vq > 0
+            in_quad = (((du_ >= 0.0).astype(jnp.int32) == uq)
+                       & ((dv_ >= 0.0).astype(jnp.int32) == vq))
+            marched = marched_base & in_quad
 
-            # window footprint on the brick grid (cross-lane reductions)
-            tc0 = jnp.maximum(t0, 0.0)
-            ua = (ou_ + du_ * tc0) * bpu
-            ub = (ou_ + du_ * t1) * bpu
-            va = (ov_ + dv_ * tc0) * bpu
-            vb = (ov_ + dv_ * t1) * bpu
-            hi = jnp.full(shape, 1e9, jnp.float32)
-            lo = jnp.full(shape, -1e9, jnp.float32)
-            u_lo = jnp.min(jnp.where(in_slice, jnp.minimum(ua, ub), hi))
-            u_hi = jnp.max(jnp.where(in_slice, jnp.maximum(ua, ub), lo))
-            v_lo = jnp.min(jnp.where(in_slice, jnp.minimum(va, vb), hi))
-            v_hi = jnp.max(jnp.where(in_slice, jnp.maximum(va, vb), lo))
-            any_in = jnp.any(in_slice)
-            iu0 = jnp.clip(jnp.floor(u_lo).astype(jnp.int32), 0, nu - 1)
-            iu1 = jnp.clip(jnp.floor(u_hi).astype(jnp.int32), 0, nu - 1)
-            iv0 = jnp.clip(jnp.floor(v_lo).astype(jnp.int32), 0, nv - 1)
-            iv1 = jnp.clip(jnp.floor(v_hi).astype(jnp.int32), 0, nv - 1)
-            n_u = jnp.where(any_in, iu1 - iu0 + 1, 0)
-            n_v = jnp.where(any_in, iv1 - iv0 + 1, 0)
+            def window_body(carry):
+                si, T, Cr, Cg, Cb, D = carry
+                s = s_begin + si * ksign
+                k0 = s.astype(jnp.float32) * rbpu
+                k1 = (s + 1).astype(jnp.float32) * rbpu
+                ta = (k0 - ok_) * rdk
+                tb = (k1 - ok_) * rdk
+                t0 = jnp.maximum(jnp.minimum(ta, tb), tmin)
+                t1 = jnp.minimum(jnp.maximum(ta, tb), tmax)
+                in_slice = marched & (t1 >= t0) & (t1 >= 0.0) & (T > t_eps)
 
-            def visit_body(rb, carry2):
-                T, Cr, Cg, Cb, D = carry2
-                ui = rb % jnp.maximum(n_u, 1)
-                vi = rb // jnp.maximum(n_u, 1)
-                # v-outer/u-inner, both direction-ordered: per-ray t order
-                su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
-                sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
-                bxc = pick3(s, sv, su, k)
-                byc = pick3(su, s, sv, k)
-                bzc = pick3(sv, su, s, k)
-                bidx = (bzc * BY + byc) * BX + bxc
+                # window footprint on the brick grid (cross-lane reductions)
+                tc0 = jnp.maximum(t0, 0.0)
+                ua = (ou_ + du_ * tc0) * bpu
+                ub = (ou_ + du_ * t1) * bpu
+                va = (ov_ + dv_ * tc0) * bpu
+                vb = (ov_ + dv_ * t1) * bpu
+                hi = jnp.full(shape, 1e9, jnp.float32)
+                lo = jnp.full(shape, -1e9, jnp.float32)
+                u_lo = jnp.min(jnp.where(in_slice, jnp.minimum(ua, ub), hi))
+                u_hi = jnp.max(jnp.where(in_slice, jnp.maximum(ua, ub), lo))
+                v_lo = jnp.min(jnp.where(in_slice, jnp.minimum(va, vb), hi))
+                v_hi = jnp.max(jnp.where(in_slice, jnp.maximum(va, vb), lo))
+                any_in = jnp.any(in_slice)
+                iu0 = jnp.clip(jnp.floor(u_lo).astype(jnp.int32), 0, nu - 1)
+                iu1 = jnp.clip(jnp.floor(u_hi).astype(jnp.int32), 0, nu - 1)
+                iv0 = jnp.clip(jnp.floor(v_lo).astype(jnp.int32), 0, nv - 1)
+                iv1 = jnp.clip(jnp.floor(v_hi).astype(jnp.int32), 0, nv - 1)
+                n_u = jnp.where(any_in, iu1 - iu0 + 1, 0)
+                n_v = jnp.where(any_in, iv1 - iv0 + 1, 0)
 
-                # brick slab: u/v planes intersected with the k window
-                tn = t0
-                tf = t1
-                for oa, rd, c0 in ((ou_, rdu, su), (ov_, rdv, sv)):
-                    b0 = c0.astype(jnp.float32) * rbpu
-                    t1_ = (b0 - oa) * rd
-                    t2_ = (b0 + rbpu - oa) * rd
-                    tn = jnp.maximum(tn, jnp.minimum(t1_, t2_))
-                    tf = jnp.minimum(tf, jnp.maximum(t1_, t2_))
-                cross = (tf > tn) & in_slice & (T > t_eps)
+                def visit_body(rb, carry2):
+                    T, Cr, Cg, Cb, D = carry2
+                    ui = rb % jnp.maximum(n_u, 1)
+                    vi = rb // jnp.maximum(n_u, 1)
+                    # v-outer/u-inner, both direction-ordered: per-ray t order
+                    su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
+                    sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
+                    bxc = pick3(s, sv, su, k)
+                    byc = pick3(su, s, sv, k)
+                    bzc = pick3(sv, su, s, k)
+                    bidx = (bzc * BY + byc) * BX + bxc
 
-                def fine(carry3):
-                    T, Cr, Cg, Cb, D = carry3
-                    base = bidx * 4
-                    sig_rows = [jnp.broadcast_to(
-                        sig_ref[base + r, :][None, :], shape)
-                        for r in range(4)]
-                    alb_rows = [[jnp.broadcast_to(
-                        aref[base + r, :][None, :], shape)
-                        for r in range(4)]
-                        for aref in (a0_ref, a1_ref, a2_ref)]
+                    # brick slab: u/v planes intersected with the k window
+                    tn = t0
+                    tf = t1
+                    for oa, rd, c0 in ((ou_, rdu, su), (ov_, rdv, sv)):
+                        b0 = c0.astype(jnp.float32) * rbpu
+                        t1_ = (b0 - oa) * rd
+                        t2_ = (b0 + rbpu - oa) * rd
+                        tn = jnp.maximum(tn, jnp.minimum(t1_, t2_))
+                        tf = jnp.minimum(tf, jnp.maximum(t1_, t2_))
+                    cross = (tf > tn) & in_slice & (T > t_eps)
 
-                    def fetch(rows, lane, rsel):
-                        g = [jnp.take_along_axis(rw, lane, axis=1)
-                             for rw in rows]
-                        g01 = jnp.where((rsel & 1) == 0, g[0], g[1])
-                        g23 = jnp.where((rsel & 1) == 0, g[2], g[3])
-                        return jnp.where((rsel & 2) == 0, g01, g23)
-
-                    enter = jnp.maximum(tn, 0.0)
-                    bx0 = bxc.astype(jnp.float32) * rbpu
-                    by0 = byc.astype(jnp.float32) * rbpu
-                    bz0 = bzc.astype(jnp.float32) * rbpu
-                    fex = (ox + dx * enter - bx0) * vpu
-                    fey = (oy + dy * enter - by0) * vpu
-                    fez = (oz + dz * enter - bz0) * vpu
-                    cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0, 7)
-                    cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0, 7)
-                    cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0, 7)
-                    tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx \
-                        * rvpu + enter
-                    tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy \
-                        * rvpu + enter
-                    tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz \
-                        * rvpu + enter
-                    tmx = jnp.minimum(tmx, BIG)
-                    tmy = jnp.minimum(tmy, BIG)
-                    tmz = jnp.minimum(tmz, BIG)
-
-                    st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy,
-                               tmz=tmz, t=enter,
-                               live=cross.astype(jnp.int32),
-                               T=T, Cr=Cr, Cg=Cg, Cb=Cb, D=D)
-
-                    def fine_step(st):
-                        live_b = st["live"] > 0
-                        bit = (((st["cz"] << 3) + st["cy"]) << 3) + st["cx"]
-                        lane = bit & 127
-                        rsel = bit >> 7
-                        sg = fetch(sig_rows, lane, rsel)
-                        t_next = jnp.minimum(
-                            jnp.minimum(st["tmx"], st["tmy"]),
-                            jnp.minimum(st["tmz"], tf))
-                        dl = jnp.maximum(t_next - st["t"], 0.0)
-                        e = jnp.exp(-jnp.maximum(sg, 0.0) * dl)
-                        w = jnp.where(live_b, st["T"] * (1.0 - e), 0.0)
-                        ar = fetch(alb_rows[0], lane, rsel)
-                        ag = fetch(alb_rows[1], lane, rsel)
-                        ab = fetch(alb_rows[2], lane, rsel)
-                        seg_d = st["t"] + 0.5 * dl
-                        out = dict(st)
-                        if mode == "bwd":
-                            # replayed prefix -> suffix sums (diff.py bwd)
-                            Cr2 = st["Cr"] + w * ar
-                            Cg2 = st["Cg"] + w * ag
-                            Cb2 = st["Cb"] + w * ab
-                            D2 = st["D"] + w * seg_d
-                            sufr = ctr - Cr2
-                            sufg = ctg - Cg2
-                            sufb = ctb - Cb2
-                            sufd = d_total - D2
-                            Te = st["T"] * e
-                            gsig = (gcr * (Te * ar - sufr)
-                                    + gcg * (Te * ag - sufg)
-                                    + gcb * (Te * ab - sufb)
-                                    + gd * (Te * seg_d - sufd)
-                                    - gt * t_final) * dl
-                            gsig = jnp.where(live_b & (sg > 0.0), gsig, 0.0)
-                            galr = jnp.where(live_b, gcr * w, 0.0)
-                            galg = jnp.where(live_b, gcg * w, 0.0)
-                            galb = jnp.where(live_b, gcb * w, 0.0)
-                            # ---- MXU histogram scatter --------------------
-                            # 16 masked planes: 4 brick rows x 4 quantities
-                            planes = []
-                            for r in range(4):
-                                m = ((rsel == r) & live_b).astype(
-                                    jnp.float32)
-                                for q in (gsig, galr, galg, galb):
-                                    planes.append(m * q)
-                            acc = acc_ref[:]
-                            for i in range(tile_rows):
-                                col = jnp.transpose(lane[i:i + 1, :])
-                                P = (col == iota_l).astype(jnp.float32)
-                                Vi = jnp.concatenate(
-                                    [p[i:i + 1, :] for p in planes], axis=0)
-                                acc = acc + jax.lax.dot_general(
-                                    Vi, P, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                            acc_ref[:] = acc
-                            out["Cr"], out["Cg"], out["Cb"] = Cr2, Cg2, Cb2
-                            out["D"] = D2
-                        else:
-                            out["Cr"] = st["Cr"] + w * ar
-                            out["Cg"] = st["Cg"] + w * ag
-                            out["Cb"] = st["Cb"] + w * ab
-                            out["D"] = st["D"] + w * seg_d
-                        out["T"] = jnp.where(live_b, st["T"] * e, st["T"])
-
-                        use_x = (st["tmx"] < st["tmy"]) \
-                            & (st["tmx"] < st["tmz"])
-                        use_y = ~(st["tmx"] < st["tmy"]) \
-                            & (st["tmy"] < st["tmz"])
-                        use_z = ~use_x & ~use_y
-                        cx2 = st["cx"] + jnp.where(use_x, sgnx, 0)
-                        cy2 = st["cy"] + jnp.where(use_y, sgny, 0)
-                        cz2 = st["cz"] + jnp.where(use_z, sgnz, 0)
-                        out["tmx"] = st["tmx"] + jnp.where(use_x, dlx, 0.0)
-                        out["tmy"] = st["tmy"] + jnp.where(use_y, dly, 0.0)
-                        out["tmz"] = st["tmz"] + jnp.where(use_z, dlz, 0.0)
-                        oob = ((cx2 | cy2 | cz2) & ~7) != 0
-                        ended = oob | (t_next >= tf - 0.0)
-                        out["live"] = (live_b & ~ended
-                                       & (out["T"] > t_eps)).astype(
-                                           jnp.int32)
-                        out["cx"], out["cy"], out["cz"] = cx2, cy2, cz2
-                        out["t"] = t_next
-                        return out
-
-                    def fine_cond(c):
-                        fi, st = c
-                        return (fi < fine_iters) & (jnp.sum(st["live"]) > 0)
-
-                    def fine_body(c):
-                        fi, st = c
-                        for _ in range(fine_unroll):
-                            st = fine_step(st)
-                        return (fi + fine_unroll, st)
-
-                    if mode == "bwd":
-                        acc_ref[:] = jnp.zeros((16, LANES), jnp.float32)
-                    _, st = jax.lax.while_loop(fine_cond, fine_body,
-                                               (jnp.int32(0), st0))
-                    if mode == "bwd":
-                        # flush the visit's histogram into the row tables
+                    def fine(carry3):
+                        T, Cr, Cg, Cb, D = carry3
                         base = bidx * 4
-                        acc = acc_ref[:]
-                        for r in range(4):
-                            ds_ref[base + r, :] += acc[4 * r, :]
-                            da0_ref[base + r, :] += acc[4 * r + 1, :]
-                            da1_ref[base + r, :] += acc[4 * r + 2, :]
-                            da2_ref[base + r, :] += acc[4 * r + 3, :]
-                    return (st["T"], st["Cr"], st["Cg"], st["Cb"], st["D"])
+                        sig_rows = [jnp.broadcast_to(
+                            sig_ref[base + r, :][None, :], shape)
+                            for r in range(4)]
+                        alb_rows = [[jnp.broadcast_to(
+                            aref[base + r, :][None, :], shape)
+                            for r in range(4)]
+                            for aref in (a0_ref, a1_ref, a2_ref)]
 
-                return jax.lax.cond(jnp.any(cross), fine,
-                                    lambda c: c, (T, Cr, Cg, Cb, D))
+                        def fetch(rows, lane, rsel):
+                            g = [jnp.take_along_axis(rw, lane, axis=1)
+                                 for rw in rows]
+                            g01 = jnp.where((rsel & 1) == 0, g[0], g[1])
+                            g23 = jnp.where((rsel & 1) == 0, g[2], g[3])
+                            return jnp.where((rsel & 2) == 0, g01, g23)
 
-            n_rect = n_u * n_v
-            T, Cr, Cg, Cb, D = jax.lax.fori_loop(
-                0, n_rect, visit_body, (T, Cr, Cg, Cb, D))
-            return (si + 1, T, Cr, Cg, Cb, D)
+                        enter = jnp.maximum(tn, 0.0)
+                        bx0 = bxc.astype(jnp.float32) * rbpu
+                        by0 = byc.astype(jnp.float32) * rbpu
+                        bz0 = bzc.astype(jnp.float32) * rbpu
+                        fex = (ox + dx * enter - bx0) * vpu
+                        fey = (oy + dy * enter - by0) * vpu
+                        fez = (oz + dz * enter - bz0) * vpu
+                        cx = jnp.clip(jnp.floor(fex).astype(jnp.int32), 0, 7)
+                        cy = jnp.clip(jnp.floor(fey).astype(jnp.int32), 0, 7)
+                        cz = jnp.clip(jnp.floor(fez).astype(jnp.int32), 0, 7)
+                        tmx = (cx.astype(jnp.float32) - fex + stpx) * rdx \
+                            * rvpu + enter
+                        tmy = (cy.astype(jnp.float32) - fey + stpy) * rdy \
+                            * rvpu + enter
+                        tmz = (cz.astype(jnp.float32) - fez + stpz) * rdz \
+                            * rvpu + enter
+                        tmx = jnp.minimum(tmx, BIG)
+                        tmy = jnp.minimum(tmy, BIG)
+                        tmz = jnp.minimum(tmz, BIG)
 
-        def window_cond(carry):
-            si, T, *_ = carry
-            return (si < nk) & jnp.any(marched & (T > t_eps))
+                        st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy,
+                                   tmz=tmz, t=enter,
+                                   live=cross.astype(jnp.int32),
+                                   T=T, Cr=Cr, Cg=Cg, Cb=Cb, D=D)
 
-        init = (jnp.int32(0), jnp.ones(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-        _, T, Cr, Cg, Cb, D = jax.lax.while_loop(window_cond, window_body,
-                                                 init)
+                        def fine_step(st):
+                            live_b = st["live"] > 0
+                            bit = (((st["cz"] << 3) + st["cy"]) << 3) + st["cx"]
+                            lane = bit & 127
+                            rsel = bit >> 7
+                            sg = fetch(sig_rows, lane, rsel)
+                            t_next = jnp.minimum(
+                                jnp.minimum(st["tmx"], st["tmy"]),
+                                jnp.minimum(st["tmz"], tf))
+                            dl = jnp.maximum(t_next - st["t"], 0.0)
+                            e = jnp.exp(-jnp.maximum(sg, 0.0) * dl)
+                            w = jnp.where(live_b, st["T"] * (1.0 - e), 0.0)
+                            ar = fetch(alb_rows[0], lane, rsel)
+                            ag = fetch(alb_rows[1], lane, rsel)
+                            ab = fetch(alb_rows[2], lane, rsel)
+                            seg_d = st["t"] + 0.5 * dl
+                            out = dict(st)
+                            if mode == "bwd":
+                                # replayed prefix -> suffix sums (diff.py bwd)
+                                Cr2 = st["Cr"] + w * ar
+                                Cg2 = st["Cg"] + w * ag
+                                Cb2 = st["Cb"] + w * ab
+                                D2 = st["D"] + w * seg_d
+                                sufr = ctr - Cr2
+                                sufg = ctg - Cg2
+                                sufb = ctb - Cb2
+                                sufd = d_total - D2
+                                Te = st["T"] * e
+                                gsig = (gcr * (Te * ar - sufr)
+                                        + gcg * (Te * ag - sufg)
+                                        + gcb * (Te * ab - sufb)
+                                        + gd * (Te * seg_d - sufd)
+                                        - gt * t_final) * dl
+                                gsig = jnp.where(live_b & (sg > 0.0), gsig, 0.0)
+                                galr = jnp.where(live_b, gcr * w, 0.0)
+                                galg = jnp.where(live_b, gcg * w, 0.0)
+                                galb = jnp.where(live_b, gcb * w, 0.0)
+                                # ---- MXU histogram scatter --------------------
+                                # 16 masked planes: 4 brick rows x 4 quantities
+                                planes = []
+                                for r in range(4):
+                                    m = ((rsel == r) & live_b).astype(
+                                        jnp.float32)
+                                    for q in (gsig, galr, galg, galb):
+                                        planes.append(m * q)
+                                acc = acc_ref[:]
+                                for i in range(tile_rows):
+                                    col = jnp.transpose(lane[i:i + 1, :])
+                                    P = (col == iota_l).astype(jnp.float32)
+                                    Vi = jnp.concatenate(
+                                        [p[i:i + 1, :] for p in planes], axis=0)
+                                    acc = acc + jax.lax.dot_general(
+                                        Vi, P, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                                acc_ref[:] = acc
+                                out["Cr"], out["Cg"], out["Cb"] = Cr2, Cg2, Cb2
+                                out["D"] = D2
+                            else:
+                                out["Cr"] = st["Cr"] + w * ar
+                                out["Cg"] = st["Cg"] + w * ag
+                                out["Cb"] = st["Cb"] + w * ab
+                                out["D"] = st["D"] + w * seg_d
+                            out["T"] = jnp.where(live_b, st["T"] * e, st["T"])
+
+                            use_x = (st["tmx"] < st["tmy"]) \
+                                & (st["tmx"] < st["tmz"])
+                            use_y = ~(st["tmx"] < st["tmy"]) \
+                                & (st["tmy"] < st["tmz"])
+                            use_z = ~use_x & ~use_y
+                            cx2 = st["cx"] + jnp.where(use_x, sgnx, 0)
+                            cy2 = st["cy"] + jnp.where(use_y, sgny, 0)
+                            cz2 = st["cz"] + jnp.where(use_z, sgnz, 0)
+                            out["tmx"] = st["tmx"] + jnp.where(use_x, dlx, 0.0)
+                            out["tmy"] = st["tmy"] + jnp.where(use_y, dly, 0.0)
+                            out["tmz"] = st["tmz"] + jnp.where(use_z, dlz, 0.0)
+                            oob = ((cx2 | cy2 | cz2) & ~7) != 0
+                            ended = oob | (t_next >= tf - 0.0)
+                            out["live"] = (live_b & ~ended
+                                           & (out["T"] > t_eps)).astype(
+                                               jnp.int32)
+                            out["cx"], out["cy"], out["cz"] = cx2, cy2, cz2
+                            out["t"] = t_next
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) & (jnp.sum(st["live"]) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        if mode == "bwd":
+                            acc_ref[:] = jnp.zeros((16, LANES), jnp.float32)
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(0), st0))
+                        if mode == "bwd":
+                            # flush the visit's histogram into the row tables
+                            base = bidx * 4
+                            acc = acc_ref[:]
+                            for r in range(4):
+                                ds_ref[base + r, :] += acc[4 * r, :]
+                                da0_ref[base + r, :] += acc[4 * r + 1, :]
+                                da1_ref[base + r, :] += acc[4 * r + 2, :]
+                                da2_ref[base + r, :] += acc[4 * r + 3, :]
+                        return (st["T"], st["Cr"], st["Cg"], st["Cb"], st["D"])
+
+                    return jax.lax.cond(jnp.any(cross), fine,
+                                        lambda c: c, (T, Cr, Cg, Cb, D))
+
+                n_rect = n_u * n_v
+                T, Cr, Cg, Cb, D = jax.lax.fori_loop(
+                    0, n_rect, visit_body, (T, Cr, Cg, Cb, D))
+                return (si + 1, T, Cr, Cg, Cb, D)
+
+            def window_cond(carry):
+                si, T, *_ = carry
+                return (si < nk) & jnp.any(marched & (T > t_eps))
+
+            _, T, Cr, Cg, Cb, D = jax.lax.while_loop(
+                window_cond, window_body, (jnp.int32(0),) + state)
+            return (T, Cr, Cg, Cb, D)
+
+        state0 = (tin_r[:], crin_r[:], cgin_r[:], cbin_r[:], din_r[:])
+        T, Cr, Cg, Cb, D = jax.lax.fori_loop(0, 4, run_quad, state0)
 
         if mode == "fwd":
             cr_ref[:] = Cr
@@ -430,9 +446,9 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
             tr_ref[:] = T
             dp_ref[:] = D
             # bit 0: k-fighter (excluded everywhere); bit 1: marched in
-            # THIS quadrant pass (the wrapper merges passes with it)
+            # this call (its dz class; quadrant phases are internal)
             fl_ref[:] = ((valid & fight).astype(jnp.int32)
-                         | (marched.astype(jnp.int32) << 1))
+                         | (marched_base.astype(jnp.int32) << 1))
 
     return kernel
 
@@ -450,12 +466,13 @@ def _ray_blocks(n_tiles, tile_rows):
 @functools.partial(
     jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
                               "fine_unroll", "t_eps", "interpret"))
-def integrate_fwd_tiles(quad, rays6, sig_rows, a0, a1, a2, *, bsize, vpu,
-                        tile_rows=8, fine_iters=24, fine_unroll=4,
-                        t_eps=0.0, interpret=False):
-    """quad: (2,) int32 scan-direction signs (1 = +).  rays6: 6 arrays
-    (n_tiles*tile_rows, 128) local o/d components.  Returns
-    (Cr, Cg, Cb, T, D, flags) in the same tiling."""
+def integrate_fwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, *,
+                        bsize, vpu, tile_rows=8, fine_iters=24,
+                        fine_unroll=4, t_eps=0.0, interpret=False):
+    """quad: (1,) i32 dz class (0 = all rays, +-1 = only that dz sign —
+    used by the slab sequencer).  rays6: 6 arrays (rows, 128) local o/d.
+    carry5: (T, Cr, Cg, Cb, D) march state entering this (sub)volume.
+    Returns (Cr, Cg, Cb, T, D, flags)."""
     rows = rays6[0].shape[0]
     n_tiles = rows // tile_rows
     kernel = _make_kernel(bsize, vpu, tile_rows=tile_rows,
@@ -467,24 +484,26 @@ def integrate_fwd_tiles(quad, rays6, sig_rows, a0, a1, a2, *, bsize, vpu,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 6
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 11
         + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)],
         out_specs=[blk] * 6,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 5
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
         interpret=interpret,
-    )(quad, *rays6, sig_rows, a0, a1, a2)
+    )(quad, *rays6, *carry5, sig_rows, a0, a1, a2)
     return outs
 
 
 @functools.partial(
     jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
                               "fine_unroll", "t_eps", "interpret"))
-def integrate_bwd_tiles(quad, rays6, sig_rows, a0, a1, a2, cts, totals, *,
-                        bsize, vpu, tile_rows=8, fine_iters=24,
+def integrate_bwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, cts,
+                        totals, *, bsize, vpu, tile_rows=8, fine_iters=24,
                         fine_unroll=4, t_eps=0.0, interpret=False):
-    """cts: (gCr, gCg, gCb, gT, gD); totals: (Cr, Cg, Cb, T_final, D_total)
-    — all (rows, 128).  Returns (d_sig_rows, d_a0, d_a1, d_a2)."""
+    """carry5: the march state that ENTERED this (sub)volume in forward
+    order (replay prefix init).  cts: (gCr, gCg, gCb, gT, gD); totals:
+    full-path (Cr, Cg, Cb, T_final, D_total).  Returns
+    (d_sig_rows, d_a0, d_a1, d_a2)."""
     rows = rays6[0].shape[0]
     n_tiles = rows // tile_rows
     kernel = _make_kernel(bsize, vpu, tile_rows=tile_rows,
@@ -497,19 +516,37 @@ def integrate_bwd_tiles(quad, rays6, sig_rows, a0, a1, a2, cts, totals, *,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 6
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 11
         + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)] + [blk] * 10,
         out_specs=[tbl(sig_rows)] * 4,
         out_shape=[tshape] * 4,
         scratch_shapes=[pltpu.VMEM((16, LANES), jnp.float32)],
         interpret=interpret,
-    )(quad, *rays6, sig_rows, a0, a1, a2, *cts, *totals)
+    )(quad, *rays6, *carry5, sig_rows, a0, a1, a2, *cts, *totals)
     return outs
 
 
 # ---------------------------------------------------------------------------
-# User-facing differentiable renderer (ops/diff.py drop-in, kernel-backed)
+# User-facing differentiable renderers (ops/diff.py drop-in, kernel-backed)
 # ---------------------------------------------------------------------------
+
+def tile_raster(x, height, width, th=32, tw=32):
+    """Reorder per-pixel data (H*W, ...) raster-major -> square-tile-major
+    so consecutive tile_rows*128 rays form a (th x tw) pixel block (pure
+    reshape/transpose — no gathers).  th*tw must equal tile_rows*128."""
+    rest = x.shape[1:]
+    x = x.reshape(height // th, th, width // tw, tw, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *rest)
+
+
+def untile_raster(x, height, width, th=32, tw=32):
+    """Inverse of tile_raster."""
+    rest = x.shape[1:]
+    x = x.reshape(height // th, width // tw, th, tw, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *rest)
+
 
 def _tile_rays(origin_l, dir_l, tile_rows):
     """(N, 3) -> 6 arrays (rows, 128) padded; returns (rays6, n, rows)."""
@@ -530,106 +567,205 @@ def _tile_rays(origin_l, dir_l, tile_rows):
     return rays6, n, rows
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _init_carry(rows):
+    one = jnp.ones((rows, LANES), jnp.float32)
+    zero = jnp.zeros((rows, LANES), jnp.float32)
+    return (one, zero, zero, zero, zero)
+
+
+def _pack_tables(sigma, albedo):
+    return (pack_rows(sigma), pack_rows(albedo[..., 0]),
+            pack_rows(albedo[..., 1]), pack_rows(albedo[..., 2]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def render_density_mega(sigma, albedo, origin_l, dir_l, vpu,
                         tile_rows: int = 8, t_eps: float = 0.0,
                         interpret: bool = False):
     """Kernel-backed emission/absorption rendering (diff.render_density
-    semantics + a `flags` output marking axis-fighting rays whose
-    composition order the tile could not honor; mask or re-trace them).
+    semantics + a `flags` output marking k-axis-fighting rays; mask or
+    re-trace them — typically <1-2 % of a camera bundle).
 
-    sigma (Z,Y,X) f32, albedo (Z,Y,X,3) f32, rays local-space (N,3)."""
+    sigma (Z,Y,X) f32, albedo (Z,Y,X,3) f32, rays local-space (N,3);
+    vpu is static (a python float).  Whole grid + gradients must fit
+    VMEM (<= 64^3 with albedo); bigger grids: render_density_slabs."""
     out, _ = _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows,
                       t_eps, interpret)
     return out
 
 
-def _quads():
-    one = jnp.int32(1)
-    zero = jnp.int32(0)
-    return [jnp.stack([u, v]) for u in (one, zero) for v in (one, zero)]
-
-
-def _rdm_run_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
-                 interpret):
+def _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
+             interpret):
     bsize = brick_dims(sigma.shape)
-    sig_rows = pack_rows(sigma)
-    a0 = pack_rows(albedo[..., 0])
-    a1 = pack_rows(albedo[..., 1])
-    a2 = pack_rows(albedo[..., 2])
+    tables = _pack_tables(sigma, albedo)
     rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
-
-    # four quadrant passes: each ray marches in exactly the pass whose
-    # (u, v) scan signs match its own direction; tiles with no rays in
-    # the pass quadrant exit at the first liveness vote
-    zero = jnp.zeros((rows, LANES), jnp.float32)
-    acc = [zero, zero, zero, zero, zero]       # Cr Cg Cb D (+T via part)
-    tr_acc = zero
-    part_any = jnp.zeros((rows, LANES), jnp.int32)
-    fight = jnp.zeros((rows, LANES), jnp.int32)
-    for quad in _quads():
-        cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
-            quad, rays6, sig_rows, a0, a1, a2, bsize=bsize, vpu=float(vpu),
-            tile_rows=tile_rows, t_eps=t_eps, interpret=interpret)
-        part = (fl >> 1) & 1
-        pf = part.astype(jnp.float32)
-        acc = [acc[0] + pf * cr, acc[1] + pf * cg, acc[2] + pf * cb,
-               acc[3] + pf * dp, None]
-        tr_acc = tr_acc + pf * tr
-        part_any = part_any | part
-        fight = fight | (fl & 1)
-    trans = jnp.where(part_any > 0, tr_acc, 1.0)
+    quad = jnp.zeros((1,), jnp.int32)
+    cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
+        quad, rays6, _init_carry(rows), *tables, bsize=bsize,
+        vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
+        interpret=interpret)
 
     def untile(x):
         return x.reshape(-1)[:n]
 
-    color = jnp.stack([untile(acc[0]), untile(acc[1]), untile(acc[2])],
-                      axis=-1)
-    out = {"color": color, "trans": untile(trans), "depth": untile(acc[3]),
-           "flags": untile(fight)}
-    totals_t = (acc[0], acc[1], acc[2], trans, acc[3])
-    saved = (sigma, albedo, origin_l, dir_l, vpu, totals_t)
+    color = jnp.stack([untile(cr), untile(cg), untile(cb)], axis=-1)
+    out = {"color": color, "trans": untile(tr), "depth": untile(dp),
+           "flags": untile(fl & 1)}
+    totals_t = (cr, cg, cb, tr, dp)
+    saved = (sigma, albedo, origin_l, dir_l, totals_t)
     return out, saved
 
 
-def _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
-             interpret):
-    return _rdm_run_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows,
-                        t_eps, interpret)
-
-
-def _rdm_bwd(tile_rows, t_eps, interpret, saved, g):
-    sigma, albedo, origin_l, dir_l, vpu, totals_t = saved
+def _rdm_bwd(vpu, tile_rows, t_eps, interpret, saved, g):
+    sigma, albedo, origin_l, dir_l, totals_t = saved
     bsize = brick_dims(sigma.shape)
-    sig_rows = pack_rows(sigma)
-    a0 = pack_rows(albedo[..., 0])
-    a1 = pack_rows(albedo[..., 1])
-    a2 = pack_rows(albedo[..., 2])
+    tables = _pack_tables(sigma, albedo)
     rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
 
-    def tile_ct(x, fill=0.0):
+    def tile_ct(x):
         x = jnp.concatenate(
-            [x, jnp.full((rows * LANES - n,), fill, jnp.float32)])
+            [x, jnp.zeros((rows * LANES - n,), jnp.float32)])
         return x.reshape(rows, LANES)
 
     gC = g["color"]
     cts = (tile_ct(gC[:, 0]), tile_ct(gC[:, 1]), tile_ct(gC[:, 2]),
            tile_ct(g["trans"]), tile_ct(g["depth"]))
-    ds = da0 = da1 = da2 = None
-    for quad in _quads():
-        o = integrate_bwd_tiles(
-            quad, rays6, sig_rows, a0, a1, a2, cts, totals_t, bsize=bsize,
-            vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
-            interpret=interpret)
-        if ds is None:
-            ds, da0, da1, da2 = o
-        else:
-            ds, da0, da1, da2 = (ds + o[0], da0 + o[1], da1 + o[2],
-                                 da2 + o[3])
+    quad = jnp.zeros((1,), jnp.int32)
+    ds, da0, da1, da2 = integrate_bwd_tiles(
+        quad, rays6, _init_carry(rows), *tables, cts, totals_t,
+        bsize=bsize, vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
+        interpret=interpret)
     d_sigma = unpack_rows(ds, sigma.shape)
     d_albedo = jnp.stack([unpack_rows(d, sigma.shape)
                           for d in (da0, da1, da2)], axis=-1)
-    return (d_sigma, d_albedo, None, None, None)
+    return (d_sigma, d_albedo, None, None)
 
 
 render_density_mega.defvjp(_rdm_fwd, _rdm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# z-slab sequencer: grids whose tables exceed VMEM (e.g. 128^3 + albedo)
+# ---------------------------------------------------------------------------
+
+def _slab_row_slices(bsize, n_slabs):
+    BX, BY, BZ = bsize
+    assert BZ % n_slabs == 0, "Z bricks must divide n_slabs"
+    bz_s = BZ // n_slabs
+    rows_per = BX * BY * bz_s * 4
+    return bz_s, rows_per
+
+
+def _rds_fwd(sigma, albedo, origin_l, dir_l, vpu, n_slabs, tile_rows,
+             t_eps, interpret):
+    gz, gy, gx = sigma.shape
+    bsize = brick_dims(sigma.shape)
+    BX, BY, BZ = bsize
+    bz_s, rows_per = _slab_row_slices(bsize, n_slabs)
+    sub_bsize = (BX, BY, bz_s)
+    tables = _pack_tables(sigma, albedo)
+    rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
+    dz_flat = rays6[5]
+    z_step = bz_s * BRICK / float(vpu)      # slab thickness (world units)
+
+    finals = {}
+    entries = {}
+    flags_all = jnp.zeros((rows, LANES), jnp.int32)
+    for cls in (1, -1):
+        order = range(n_slabs) if cls > 0 else range(n_slabs - 1, -1, -1)
+        state = _init_carry(rows)
+        ent = [None] * n_slabs
+        quad = jnp.full((1,), cls, jnp.int32)
+        for s in order:
+            ent[s] = state
+            oz_s = rays6[2] - s * z_step
+            r6 = rays6[:2] + (oz_s,) + rays6[3:]
+            tb = tuple(t[s * rows_per:(s + 1) * rows_per] for t in tables)
+            cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
+                quad, r6, state, *tb, bsize=sub_bsize, vpu=float(vpu),
+                tile_rows=tile_rows, t_eps=t_eps, interpret=interpret)
+            state = (tr, cr, cg, cb, dp)
+            flags_all = flags_all | (fl & 1)
+        finals[cls] = state
+        entries[cls] = ent
+
+    # merge the two dz classes (each ray marched in exactly one)
+    pos = dz_flat >= 0.0
+    T = jnp.where(pos, finals[1][0], finals[-1][0])
+    Cr = jnp.where(pos, finals[1][1], finals[-1][1])
+    Cg = jnp.where(pos, finals[1][2], finals[-1][2])
+    Cb = jnp.where(pos, finals[1][3], finals[-1][3])
+    D = jnp.where(pos, finals[1][4], finals[-1][4])
+
+    def untile(x):
+        return x.reshape(-1)[:n]
+
+    color = jnp.stack([untile(Cr), untile(Cg), untile(Cb)], axis=-1)
+    out = {"color": color, "trans": untile(T), "depth": untile(D),
+           "flags": untile(flags_all)}
+    totals_t = (Cr, Cg, Cb, T, D)
+    saved = (sigma, albedo, origin_l, dir_l, totals_t, entries)
+    return out, saved
+
+
+def _rds_bwd(vpu, n_slabs, tile_rows, t_eps, interpret, saved, g):
+    sigma, albedo, origin_l, dir_l, totals_t, entries = saved
+    bsize = brick_dims(sigma.shape)
+    BX, BY, BZ = bsize
+    bz_s, rows_per = _slab_row_slices(bsize, n_slabs)
+    sub_bsize = (BX, BY, bz_s)
+    tables = _pack_tables(sigma, albedo)
+    rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
+    z_step = bz_s * BRICK / float(vpu)
+
+    def tile_ct(x):
+        x = jnp.concatenate(
+            [x, jnp.zeros((rows * LANES - n,), jnp.float32)])
+        return x.reshape(rows, LANES)
+
+    gC = g["color"]
+    cts = (tile_ct(gC[:, 0]), tile_ct(gC[:, 1]), tile_ct(gC[:, 2]),
+           tile_ct(g["trans"]), tile_ct(g["depth"]))
+
+    grads = [None] * n_slabs
+    for s in range(n_slabs):
+        oz_s = rays6[2] - s * z_step
+        r6 = rays6[:2] + (oz_s,) + rays6[3:]
+        tb = tuple(t[s * rows_per:(s + 1) * rows_per] for t in tables)
+        acc = None
+        for cls in (1, -1):
+            quad = jnp.full((1,), cls, jnp.int32)
+            o = integrate_bwd_tiles(
+                quad, r6, entries[cls][s], *tb, cts, totals_t,
+                bsize=sub_bsize, vpu=float(vpu), tile_rows=tile_rows,
+                t_eps=t_eps, interpret=interpret)
+            acc = o if acc is None else tuple(a + b
+                                              for a, b in zip(acc, o))
+        grads[s] = acc
+
+    ds, da0, da1, da2 = (jnp.concatenate([g_[i] for g_ in grads])
+                         for i in range(4))
+    d_sigma = unpack_rows(ds, sigma.shape)
+    d_albedo = jnp.stack([unpack_rows(d, sigma.shape)
+                          for d in (da0, da1, da2)], axis=-1)
+    return (d_sigma, d_albedo, None, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def render_density_slabs(sigma, albedo, origin_l, dir_l, vpu,
+                         n_slabs: int = 8, tile_rows: int = 8,
+                         t_eps: float = 0.0, interpret: bool = False):
+    """render_density_mega for grids whose tables exceed VMEM: the grid
+    is split into `n_slabs` z-slabs, each rendered by one kernel call
+    with the march state (T, C, D) carried ray-wise between calls.  A
+    straight ray crosses z-slabs monotonically in its dz sign, so the
+    sequencer runs one slab chain per dz class (+z order and -z order)
+    and merges by each ray's own sign — composition stays exactly
+    t-ordered.  The backward replays each slab independently from its
+    saved entry state (gradients are additive across slabs)."""
+    out, _ = _rds_fwd(sigma, albedo, origin_l, dir_l, vpu, n_slabs,
+                      tile_rows, t_eps, interpret)
+    return out
+
+
+render_density_slabs.defvjp(_rds_fwd, _rds_bwd)

@@ -364,6 +364,28 @@ SKY_BASE = (0.08, 0.08, 0.10)
 SKY_SUNCOL = (1.0, 0.9, 0.75)
 
 
+def pack_compact_matw(tables: MegaTables):
+    """Compact the (NB, 128) material table to OCCUPIED bricks only.
+
+    Giant sparse scenes (e.g. the 512-crate profiling grid: 240^3, 15 %
+    of 8^3 bricks occupied) have matw tables that outgrow VMEM while the
+    occupied subset fits easily.  Returns (matw_c, remap):
+      matw_c: (Ncomp_padded, 128) i32 — occupied bricks' material words
+      remap:  (1, NB) i32 SMEM brick->slot map (0 for empty bricks —
+              never read, since only hit bricks reach the vote)
+    Pass remap through the kernel's `wsm` input with
+    matw_space='compact'."""
+    occ = np.asarray(tables.occ).reshape(-1)
+    matw = np.asarray(tables.matw)
+    idx = np.flatnonzero(occ)
+    ncomp = max(int(idx.size), 1)
+    matw_c = np.zeros((ncomp, 128), np.int32)
+    matw_c[: idx.size] = matw[idx]
+    remap = np.zeros((1, occ.size), np.int32)
+    remap[0, idx] = np.arange(idx.size, dtype=np.int32)
+    return jnp.asarray(matw_c), jnp.asarray(remap)
+
+
 def _analytic_sky(dw, sun):
     """SkyDome.procedural formula at exact dirs (skydome.py) — vector ops."""
     y = dw[1]
@@ -403,9 +425,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       matw_space="vmem", mat16=False, footprint="corners"):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
-    matw_space: 'vmem' (material table resident on-chip — small scenes) or
+    matw_space: 'vmem' (material table resident on-chip — small scenes),
+    'compact' (matw holds only OCCUPIED bricks, the `wsm` input carries
+    the (1, NB) brick->slot remap in SMEM — giant SPARSE scenes), or
     'hbm' (table stays in HBM; the tile-end vote DMAs one 512-byte brick
-    row per distinct hit brick — giant scenes whose tables exceed VMEM).
+    row per distinct hit brick).  NOTE: 'hbm' is blocked by a toolchain
+    bug on the current stack (Mosaic hangs compiling a DMA inside a
+    while_loop body); prefer 'compact', which fits any scene whose
+    occupied-brick material bytes fit VMEM.
 
     shading: 'flat' (albedo), 'lambert' (N.L sun + ambient, no shadows),
     'raw' (albedo8, no tonemap — for multi-pass pipelines), or 'trace'
@@ -456,8 +483,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # vote loop (run mode: (bidx<<9 | bit); brick16: 8^3 (bidx8<<9 | bit8))
     defer_mat = traversal == "run" or (brick != BRICK and not mat16
                                        and traversal != "patch")
+    assert matw_space in ("vmem", "hbm", "compact")
     assert matw_space == "vmem" or defer_mat, \
-        "matw_space='hbm' requires a deferred-material mode (run/brick16)"
+        "matw_space='hbm'/'compact' requires a deferred-material mode " \
+        "(run/brick16/brick32)"
     # trace-only consumers with fetch_mat=False never read materials —
     # skip the vote (and any matw access) entirely
     vote_mats = defer_mat and (fetch_mat or shading != "trace")
@@ -1550,6 +1579,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     dma.start()
                     dma.wait()
                     mrow = jnp.broadcast_to(mat_scratch[0, :][None, :], shape)
+                elif matw_space == "compact":
+                    # giant sparse scenes: matw holds only OCCUPIED bricks;
+                    # the wsm slot carries the brick->slot remap (SMEM)
+                    slot = wsm_ref[0, bsel]
+                    mrow = jnp.broadcast_to(matw_ref[slot, :][None, :],
+                                            shape)
                 else:
                     mrow = jnp.broadcast_to(matw_ref[bsel, :][None, :], shape)
                 hb = h_info & 511
@@ -1781,6 +1816,7 @@ class MegaVolume:
         if self.occ32 is not None:
             self.occ32, self.occw32, self.bsize32 = pack_mega32(
                 self.volume.grid)
+        self._compact = None
         self.pal = pack_palette(self.volume.palette)
         self.pos = jnp.asarray(self.volume.pos, jnp.float32)
         self.rot = jnp.asarray(self.volume.rot, jnp.float32)
@@ -1800,6 +1836,12 @@ class MegaVolume:
     def mat16_fits_vmem(self, budget_bytes=4 * 2**20):
         return self.matw16.size * 4 <= budget_bytes
 
+    def compact_matw(self):
+        """(matw_c, remap) for matw_space='compact' (cached)."""
+        if getattr(self, "_compact", None) is None:
+            self._compact = pack_compact_matw(self.tables)
+        return self._compact
+
     def set_voxel(self, x: int, y: int, z: int, val: int):
         """O(1) single-voxel edit: host grid + all packed device tables
         (the fast-path analog of vv.cpp:377-432 — no full repack)."""
@@ -1812,6 +1854,7 @@ class MegaVolume:
         if self.occ32 is not None:
             self.occ32, self.occw32 = set_voxel_tables32(
                 self.occ32, self.occw32, self.bsize32, x, y, z, val)
+        self._compact = None      # lazily re-packed on next compact use
 
 
 def mega_camera(mv: MegaVolume, camera, sun_dir, width, height,
@@ -2111,8 +2154,11 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
             # in-brick material resolve from the pack_mat16 table
             kw.update(matw=mv.matw16, mat16=True)
         else:
-            # giant scene: 8^3 matw stays in HBM, per-brick DMA vote
-            kw.update(matw=tb.matw, matw_space="hbm")
+            # giant sparse scene: occupied-brick material subset in VMEM
+            # + brick->slot remap through the wsm input ('hbm' DMA mode
+            # is blocked by a Mosaic compile hang on this toolchain)
+            matw_c, remap = mv.compact_matw()
+            kw.update(matw=matw_c, wsm=remap, matw_space="compact")
     else:
         kw = dict(occ=tb.occ, occw=tb.occw, wsm=dummy_wsm, bsize=tb.bsize,
                   matw=tb.matw)
