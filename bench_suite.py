@@ -148,8 +148,14 @@ def bench_diff_lambert_512():
     o, d = rays_for_image(cam, 512, 512)
     pal = jnp.full((256, 3), 0.5)
     tgt = jnp.zeros((N, 3))
+    # kernel-backed: megakernel hits + differentiable palette shading
+    from voxel_tracer_tpu.ops.diff_surface import palette_fit_loss_mega
+    from voxel_tracer_tpu.ops.pallas import mega as _mega
+    mv = _mega.MegaVolume(vol)
     sgrad = jax.jit(jax.grad(
-        lambda p: palette_fit_loss(p, scene, o, d, tgt)))
+        lambda p: palette_fit_loss_mega(
+            p, mv, cam, 512, 512, tgt, tile_rows=32, tile_w=64,
+            fine_unroll=6, track_steps=False, use_brick16=True)))
     dt_s = _timeit(lambda: sgrad(pal), sync)
 
     # Pallas integrate kernels (ops/pallas/diffint.py): the framework's

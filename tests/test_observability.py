@@ -32,3 +32,16 @@ def test_profiler_trace_writes(tmp_path):
             jax.block_until_ready(x)
     produced = glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
     assert any(os.path.isfile(p) for p in produced), produced
+
+
+def test_jax_trace_writes_events(tmp_path):
+    import jax.numpy as jnp
+    from voxel_tracer_tpu.utils.profiling import jax_trace, annotate
+
+    with jax_trace(str(tmp_path)):
+        with annotate("tiny-op"):
+            (jnp.ones((8, 8)) * 2).block_until_ready()
+    # a plugins/profile/<ts>/ dir with at least one event file appears
+    found = list(tmp_path.rglob("*.pb")) + list(tmp_path.rglob("*.json.gz")) \
+        + list(tmp_path.rglob("*.xplane.pb"))
+    assert found, list(tmp_path.rglob("*"))

@@ -98,11 +98,25 @@ def worker(n_dev: int):
     jax.block_until_ready(loss)
     dt_train = (time.perf_counter() - t0) / 3
 
+    # identical local compute WITHOUT the gradient pmean: the ratio
+    # isolates collective overhead from virtual-device core time-sharing
+    step_ns = sharding.make_train_step(mesh, opt, 20.0, MAX_STEPS,
+                                       sync_grads=False)
+    p2, st2, l2 = step_ns(params, opt_state, o_l, d_l, target)
+    jax.block_until_ready(l2)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        p2, st2, l2 = step_ns(params, opt_state, o_l, d_l, target)
+    jax.block_until_ready(l2)
+    dt_nosync = (time.perf_counter() - t0) / 3
+
     print(json.dumps({
         "n_devices": n_dev,
         "trace_rays_per_s": round(TRACE_RAYS / dt_trace),
         "train_steps_per_s": round(1.0 / dt_train, 3),
         "train_bwd_rays_per_s": round(TRAIN_RAYS / dt_train),
+        "collective_efficiency_pct": round(100.0 * dt_nosync / dt_train,
+                                           1),
     }))
 
 

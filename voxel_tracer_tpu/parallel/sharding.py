@@ -84,12 +84,16 @@ def make_sharded_trace(mesh: Mesh, config: RenderConfig):
 
 
 def make_train_step(mesh: Mesh, optimizer, vpu: float, max_steps: int = 192,
-                    background=None):
+                    background=None, sync_grads: bool = True):
     """Sharded inverse-rendering train step (BASELINE config 5).
 
     params = {"sigma": (Z,Y,X), "albedo": (Z,Y,X,3)} — replicated.
     Rays + target pixels sharded over the mesh; grads psum'd over ICI.
     Returns step(params, opt_state, o_l, d_l, target) -> (params, opt_state, loss).
+
+    sync_grads=False skips the gradient/loss pmean: training would
+    diverge per-shard, but the step does identical local compute — the
+    scaling harness times both to isolate pure collective overhead.
     """
     bg = background if background is not None else jnp.zeros((3,), jnp.float32)
 
@@ -107,9 +111,10 @@ def make_train_step(mesh: Mesh, optimizer, vpu: float, max_steps: int = 192,
     )
     def step(params, opt_state, o_l, d_l, target):
         loss, grads = jax.value_and_grad(local_loss)(params, o_l, d_l, target)
-        # gradient all-reduce over ICI (mean over ray shards)
-        grads = jax.lax.pmean(grads, RAYS)
-        loss = jax.lax.pmean(loss, RAYS)
+        if sync_grads:
+            # gradient all-reduce over ICI (mean over ray shards)
+            grads = jax.lax.pmean(grads, RAYS)
+            loss = jax.lax.pmean(loss, RAYS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)

@@ -105,3 +105,31 @@ def profiling_scene_merged():
     from voxel_tracer_tpu.ops.pallas.renderer_fast import bake_aligned_scene
 
     return bake_aligned_scene(profiling_volumes())
+
+
+@contextlib.contextmanager
+def jax_trace(logdir: str):
+    """jax.profiler trace scope -> TensorBoard/Perfetto logdir.
+
+    The TPU-native analog of the reference's PROFILING builds
+    (src/dev/profile.h:10-37 pins a core + canned camera; here the
+    device-side timeline comes from XLA's profiler instead).  Wrap any
+    jitted render/train call:
+
+        with jax_trace("/tmp/vt_trace"):
+            renderer.render(...)  # one traced frame
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named sub-scope inside a jax_trace capture (TraceAnnotation)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
