@@ -36,15 +36,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # megakernel tuning for the bench workload (see mega.py docstring):
-# 16^3 super-brick traversal (pack_mega16 — one VMEM word row per brick,
-# half the slices, quarter the rect footprints; swept +28% over the 8^3
-# kernel) with 128x136-px tiles (v5e sweep: 64x128 rows 729/727 Mrays/s,
-# 136 rows 748 Mrays/s at 128 frames/dispatch)
+# 16^3 super-brick hierarchical traversal (pack_mega16 word rows +
+# pack_sub4 4^3 skip table: each fine step either skips an empty 4^3
+# sub-block / empty 16x2x1 voxel-word box or steps one voxel), in-brick
+# mat16 material resolve, 128x136-px tiles.  v5e sweep at 128
+# frames/dispatch: brick16 incremental 743-757, hier 776-811 Mrays/s;
+# fine_unroll 4 > 3/5/6; 272-row tiles regress (664).  512
+# frames/dispatch amortizes the axon tunnel's ~50 ms dispatch round trip
+# to <0.1 ms/frame.
 TILE_ROWS = 136
 TILE_W = 128
-FINE_UNROLL = 6
+FINE_UNROLL = 4
 FINE_ITERS = 48
-FRAMES_PER_DISPATCH = 128
+FRAMES_PER_DISPATCH = 512
 
 
 def main():
@@ -69,10 +73,11 @@ def main():
                             jnp.zeros(3), width / height)
         cam_p = mega.mega_camera(mv, cam, sun, width, height)
         rgba, t, aux = mega.render_mega_tiles(
-            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
-            tb.matw, mv.pal, width=width, height=height,
+            cam_p, mv.occ16, mv.occw16, mv.sub4,
+            mv.matw16, mv.pal, width=width, height=height,
             tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=FINE_UNROLL,
-            fine_iters=FINE_ITERS, track_steps=False, **mv.brick16_kw())
+            fine_iters=FINE_ITERS, track_steps=False, mat16=True,
+            traversal="hier", **mv.brick16_kw())
         return rgba
 
     @jax.jit

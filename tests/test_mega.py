@@ -198,6 +198,32 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal((aux5 & 255)[hit5],
                                   (np.asarray(aux) & 255)[hit5])
 
+    # hierarchical fine march (pack_sub4 skip table in the wsm slot):
+    # identical hits/materials; depth equal up to the corner-graze
+    # artifact class (sub-nudge features, vv.cpp:680 analog) — none in
+    # this scene
+    _, t6, aux6 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, mv.sub4,
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="hier",
+        **mv.brick16_kw())
+    t6 = np.asarray(t6); aux6 = np.asarray(aux6)
+    hit6 = t6 < 1e30
+    np.testing.assert_array_equal(np.asarray(t) < 1e30, hit6)
+    np.testing.assert_allclose(t6[hit6], np.asarray(t)[hit6], atol=2e-4)
+    np.testing.assert_array_equal((aux6 & 255)[hit6],
+                                  (np.asarray(aux) & 255)[hit6])
+
+    # hier + deferred-material vote (no mat16 table): same output
+    _, t7, aux7 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.occw16, mv.sub4, tb.matw,
+        mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, traversal="hier",
+        **mv.brick16_kw())
+    t7 = np.asarray(t7); aux7 = np.asarray(aux7)
+    np.testing.assert_array_equal(t6, t7)
+    np.testing.assert_array_equal((aux7 & 255)[hit6], (aux6 & 255)[hit6])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
@@ -293,6 +319,8 @@ def test_set_voxel_incremental_equals_repack(scene):
                                   np.asarray(fresh.matw16))
     np.testing.assert_array_equal(np.asarray(mv.occ16),
                                   np.asarray(fresh.occ16))
+    np.testing.assert_array_equal(np.asarray(mv.sub4),
+                                  np.asarray(fresh.sub4))
 
     # and the rendered frame matches
     cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 2.0)

@@ -28,7 +28,7 @@ from voxel_tracer_tpu.ops.pallas import mega
 from voxel_tracer_tpu.utils.timer import _force_sync
 
 W, H, FRAMES = 1920, 1088, 128
-TILE_ROWS, TILE_W, UNROLL = 64, 128, 6
+TILE_ROWS, TILE_W, UNROLL = 136, 128, 6
 
 
 def bench(vol, shading="flat", brick16=False):

@@ -100,8 +100,10 @@ def main():
                 track_steps=False, **kw)
         elif args.kernel == "mega16":
             matw = mv.matw16 if kw.get("mat16") else tb.matw
+            wsm = (mv.sub4 if kw.get("traversal") == "hier"
+                   else jnp.zeros((1, 1), jnp.int32))
             rgba, _, _ = mega.render_mega_tiles(
-                cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
+                cam_p, mv.occ16, mv.occw16, wsm,
                 matw, mv.pal, width=W, height=H,
                 track_steps=False, **mv.brick16_kw(), **kw)
         elif args.kernel == "mega32":

@@ -267,6 +267,73 @@ def set_voxel_mat16(matw16, bsize16, x, y, z, val):
         | jnp.left_shift(val & 255, sh))
 
 
+def pack_sub4(grid: np.ndarray) -> jnp.ndarray:
+    """4^3 sub-block occupancy for the hierarchical fine march
+    (`traversal='hier'`): each 16^3 brick's 64 sub-blocks (4x4x4 voxels)
+    collapse to 64 bits = two i32 words.  Layout: (ceil(NB16/64), 128)
+    i32 — brick b's words live at row b>>6, lanes (b&63)*2 + w.  Sub-block
+    bit index: sb = (z>>2)*16 + (y>>2)*4 + (x>>2), word = sb>>5.
+
+    The fine march gathers the sub-word each step and, when the ray's
+    current 4^3 block is empty, skips straight to the block's exit plane
+    instead of stepping voxel-by-voxel — the two-level brickmap idea
+    (vv.h:23-38) applied a third time, inside the brick."""
+    gz, gy, gx = grid.shape
+    bx, by, bz = (gx + 15) // 16, (gy + 15) // 16, (gz + 15) // 16
+    nb = bx * by * bz
+    pad = np.zeros((bz * 16, by * 16, bx * 16), np.uint8)
+    pad[:gz, :gy, :gx] = grid
+    # (brick, sz, sy, sx) any() over each 4^3 sub-block
+    b = pad.reshape(bz, 4, 4, by, 4, 4, bx, 4, 4)
+    sub = b.transpose(0, 3, 6, 1, 4, 7, 2, 5, 8).reshape(nb, 64, 64)
+    bits_ = sub.any(axis=2).astype(np.uint32)               # (NB, 64)
+    w = bits_.reshape(nb, 2, 32)
+    shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+    words = (w * shifts[None, None, :]).sum(axis=2,
+                                            dtype=np.uint64).astype(np.uint32)
+    rows = (nb + 63) // 64
+    out = np.zeros((rows, 128), np.uint32)
+    out.reshape(-1, 2)[:nb] = words
+    return jnp.asarray(out.view(np.int32))
+
+
+def set_voxel_sub4(sub4, occw16, bsize16, x, y, z, val):
+    """O(1) single-voxel edit on the `pack_sub4` table.  On clear, the
+    sub-block's new occupancy is re-derived from the brick's occw16 words
+    (a 4^3 block spans 2 occw16 words' halves — recheck via the 8
+    16-bit lanes it owns)."""
+    BX, BY, _ = bsize16
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    bidx = ((z >> 4) * BY + (y >> 4)) * BX + (x >> 4)
+    sb = (((z >> 2) & 3) << 4) | (((y >> 2) & 3) << 2) | ((x >> 2) & 3)
+    row = bidx >> 6
+    lane = ((bidx & 63) << 1) + (sb >> 5)
+    mask = jnp.int32(1) << (sb & 31)
+    solid = jnp.asarray(val, jnp.int32) != 0
+    # recompute the sub-block's any() from occw16: voxel bit index
+    # idx = z16*256 + y16*16 + x16; the 4^3 block covers z16 in
+    # [4(z>>2)&.., +4), each z-plane is 8 words of 2 y-rows; the block's
+    # bits live in 4 z-planes x 2 words (y-pair rows) at nibble x-ranges.
+    z0 = (z & 12)
+    y0 = (y & 12)
+    x0 = (x & 12)
+    xmask = jnp.int32(0xF) << x0                  # 4 x-bits inside a row
+    rowmask = xmask | (xmask << 16)               # both y-rows of a word
+    any_bits = jnp.int32(0)
+    for dz in range(4):
+        for dy2 in range(2):                      # the block's 2 y-pairs
+            widx = ((z0 + dz) << 3) + (y0 >> 1) + dy2   # word = bit>>5
+            w = occw16[bidx, widx]
+            any_bits = any_bits | (w & rowmask)
+    occ_sub = any_bits != 0
+    old = sub4[row, lane]
+    new = jnp.where(solid, old | mask,
+                    jnp.where(occ_sub, old | mask, old & ~mask))
+    return sub4.at[row, lane].set(new)
+
+
 def set_voxel_tables(tb: MegaTables, x, y, z, val):
     """O(1) incremental single-voxel edit on the packed kernel tables.
 
@@ -456,8 +523,13 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     rbpu = 1.0 / bpu
     log_b = int(np.log2(brick))
     assert 1 << log_b == brick and brick in (8, 16, 32)
-    assert brick == BRICK or traversal in ("brick", "patch"), \
-        "brick=16/32 supports the 'brick'/'patch' traversals only"
+    assert brick == BRICK or traversal in ("brick", "patch", "hier"), \
+        "brick=16/32 supports the 'brick'/'patch'/'hier' traversals only"
+    if traversal == "hier":
+        # hierarchical fine march: needs the pack_sub4 table in the wsm
+        # slot and the brick16 one-row occupancy layout
+        assert brick == 16 and slice_depth == 1, \
+            "hier traversal requires brick=16, slice_depth=1"
     assert brick != 32 or traversal == "brick", \
         "brick=32 supports the 'brick' traversal only"
     # h_bit packs the in-brick voxel bit plus the entry axis; the axis
@@ -466,7 +538,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # mat16: resolve materials inside the brick visit from a pack_mat16
     # table (8 scalar-row loads + select tree + lane gather) — no vote
     if mat16:
-        assert brick == 16 and traversal in ("brick", "patch") \
+        assert brick == 16 and traversal in ("brick", "patch", "hier") \
             and matw_space == "vmem" \
             and not (slice_depth == 2 and traversal == "brick"), \
             "mat16 requires brick=16 brick/patch traversal, VMEM matw, " \
@@ -826,6 +898,222 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     cross = (tf - 1e-5 >= enter) & in_slice & ~done \
                         & (enter < hit_t)
 
+                    def finish(st, hit_t, hit_mat, hit_ax):
+                        # post-march: nearest-compare + axis/sign encoding
+                        # + material resolve (shared by fine / hier_fine)
+                        t_new = enter + st["h_ft"] * (1.0 / vpu)
+                        better = (st["h_bit"] >= 0) & (t_new < hit_t)
+                        hit_t = jnp.where(better, t_new, hit_t)
+                        if deep:
+                            h_axv = st["h_ax"]
+                            h_bitv = st["h_bit"]
+                        else:
+                            h_axv = (st["h_bit"] >> ax_shift) & 3
+                            h_bitv = st["h_bit"] & ((1 << ax_shift) - 1)
+                        sgn_ax = pick3(sgnx, sgny, sgnz, h_axv)
+                        hit_ax = jnp.where(
+                            better,
+                            h_axv * 2 + jnp.where(sgn_ax > 0, 1, 0),
+                            hit_ax)
+
+                        if brick == 16 and mat16 and fetch_mat:
+                            # in-brick material resolve from the pack_mat16
+                            # table: brick bidx's 4096 bytes are rows
+                            # [bidx*8, bidx*8+8) — 8 scalar row loads, a
+                            # 3-level select on the word's row bits, one
+                            # lane gather, byte extract.  No vote loop.
+                            def with_mat(hm):
+                                hb = h_bitv       # 0..4095 (masked by
+                                wi = hb >> 2      # `better` on no-hit)
+                                lane = wi & 127
+                                # gather each row at the lane FIRST, then
+                                # select by the destination lane's row bits
+                                # (select-then-gather would apply another
+                                # lane's row choice at the source position)
+                                g = [jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        matw_ref[bidx * 8 + r, :][None, :],
+                                        shape), lane, axis=1)
+                                    for r in range(8)]
+                                sel = wi >> 7                  # row 0..7
+                                l1 = [jnp.where((sel & 1) == 0, g[i],
+                                                g[i + 1])
+                                      for i in (0, 2, 4, 6)]
+                                l2 = [jnp.where((sel & 2) == 0, l1[i],
+                                                l1[i + 1]) for i in (0, 2)]
+                                mword = jnp.where((sel & 4) == 0, l2[0],
+                                                  l2[1])
+                                mbyte = (mword >> ((hb & 3) * 8)) & 255
+                                return jnp.where(better, mbyte, hm)
+
+                            hit_mat = jax.lax.cond(
+                                jnp.any(better), with_mat,
+                                lambda hm: hm, hit_mat)
+                        elif brick != BRICK:
+                            # defer: pack the 8^3-brick address of the hit
+                            # voxel for the tile-end material vote
+                            MBX, MBY, _ = mat_bsize
+                            hb = h_bitv
+                            vx = bxc * brick + (hb & (brick - 1))
+                            vy = byc * brick + ((hb >> log_b) & (brick - 1))
+                            vz = bzc * brick + (hb >> (2 * log_b))
+                            if deep:
+                                # k coordinate's 2nd-brick offset
+                                hh = jnp.where(st["h_hi"] > 0, 16, 0)
+                                vx = vx + jnp.where(k == 0, hh, 0)
+                                vy = vy + jnp.where(k == 1, hh, 0)
+                                vz = vz + jnp.where(k == 2, hh, 0)
+                            bidx8 = ((vz >> 3) * MBY + (vy >> 3)) * MBX \
+                                + (vx >> 3)
+                            bit8 = ((vz & 7) << 6) | ((vy & 7) << 3) \
+                                | (vx & 7)
+                            hit_mat = jnp.where(
+                                better, (bidx8 << 9) | bit8, hit_mat)
+                        elif fetch_mat:
+                            # material fetch: once per brick, lane gather of
+                            # the hit voxel's byte from the (NB, 128) table
+                            def with_mat(hm):
+                                row = jnp.broadcast_to(
+                                    matw_ref[bidx, :][None, :], shape)
+                                hb = h_bitv & 511   # in-range on no-hit
+                                mword = jnp.take_along_axis(
+                                    row, hb >> 2, axis=1)
+                                mbyte = (mword >> ((hb & 3) * 8)) & 255
+                                return jnp.where(better, mbyte, hm)
+
+                            hit_mat = jax.lax.cond(
+                                jnp.any(better), with_mat,
+                                lambda hm: hm, hit_mat)
+                        return (hit_t, hit_mat, hit_ax, st["stp"])
+
+                    def hier_fine(carry4):
+                        # hierarchical march (brick=16): the gathered 4^3
+                        # sub-block word decides each step's granularity —
+                        # skip an empty sub-block to its exit plane, or
+                        # step one voxel.  Cells recompute from t (non-
+                        # incremental DDA) so skip lengths are arbitrary;
+                        # a 2e-3-voxel nudge along the ray lands each eval
+                        # inside the next cell (the vv.cpp:680 +0.001f
+                        # entry-offset idea).
+                        hit_t, hit_mat, hit_ax, steps = carry4
+                        occ_row = jnp.broadcast_to(
+                            occw_ref[bidx, :][None, :], shape)
+                        sub_row = jnp.broadcast_to(
+                            wsm_ref[bidx >> 6, :][None, :], shape)
+                        sub_base = (bidx & 63) * 2
+                        fex = (ox + dx * enter - bx0) * vpu
+                        fey = (oy + dy * enter - by0) * vpu
+                        fez = (oz + dz * enter - bz0) * vpu
+                        # nudge: >= ~80x the FP error of a boundary eval at
+                        # coord ~16 (6e-6), small enough that sub-nudge
+                        # corner grazes are rarer than the reference's own
+                        # +0.001f entry-offset artifact class
+                        EPS = jnp.float32(5e-4)
+                        nex = dx * EPS + fex
+                        ney = dy * EPS + fey
+                        nez = dz * EPS + fez
+                        pmx = -jnp.maximum(sgnx, 0)     # -1 if +x, else 0
+                        pmy = -jnp.maximum(sgny, 0)
+                        pmz = -jnp.maximum(sgnz, 0)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
+
+                        # slim loop state: `la` packs live|ax<<1 and the
+                        # hit-entry t is recomputed post-loop from h_bit
+                        # (a direct voxel slab) — 3 carried arrays instead
+                        # of 5, less VMEM traffic per chunk
+                        st0 = dict(ft=jnp.zeros(shape, jnp.float32),
+                                   la=(ax0 << 1) | cross.astype(jnp.int32),
+                                   h_bit=jnp.full(shape, -1, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            la = st["la"]
+                            live_b = (la & 1) > 0
+                            ft = st["ft"]
+                            cxr = jnp.floor(nex + dx * ft).astype(jnp.int32)
+                            cyr = jnp.floor(ney + dy * ft).astype(jnp.int32)
+                            czr = jnp.floor(nez + dz * ft).astype(jnp.int32)
+                            oob = ((cxr | cyr | czr) & ~15) != 0
+                            live_b = live_b & ~oob
+                            cx = cxr & 15
+                            cy = cyr & 15
+                            cz = czr & 15
+                            sb = ((cz & 12) << 2) | (cy & 12) | (cx >> 2)
+                            subw = jnp.take_along_axis(
+                                sub_row, sub_base + (cz >> 3), axis=1)
+                            sub_occ = (subw >> (sb & 31)) & 1
+                            bit = (cz << 8) | (cy << 4) | cx
+                            vw = jnp.take_along_axis(occ_row, bit >> 5,
+                                                     axis=1)
+                            # the voxel bit alone decides hits: an empty
+                            # sub-block implies all-zero voxel words
+                            vbit = (vw >> (bit & 31)) & 1
+                            is_hit = live_b & (vbit == 1)
+                            h_bit = jnp.where(
+                                is_hit, bit | ((la >> 1) << ax_shift),
+                                st["h_bit"])
+                            live = live_b & ~is_hit
+                            # step granularity per axis: an empty 4^3
+                            # sub-block skips a 4-cube; an empty voxel
+                            # word (the 16x2x1 box it spans) skips that
+                            # box; else one voxel.  (pmx = -1 where the
+                            # ray moves +ve: the +size term folds to an
+                            # and, not a select.)
+                            sub0 = sub_occ == 0
+                            w0 = ~sub0 & (vw == 0)
+                            mx = jnp.where(sub0, -4, jnp.where(w0, -16, -1))
+                            my = jnp.where(sub0, -4, jnp.where(w0, -2, -1))
+                            mz = jnp.where(sub0, -4, -1)
+                            tgtx = (cxr & mx) + ((-mx) & pmx)
+                            tgty = (cyr & my) + ((-my) & pmy)
+                            tgtz = (czr & mz) + ((-mz) & pmz)
+                            t_x = (tgtx.astype(jnp.float32) - fex) * rdx
+                            t_y = (tgty.astype(jnp.float32) - fey) * rdy
+                            t_z = (tgtz.astype(jnp.float32) - fez) * rdz
+                            use_x = (t_x < t_y) & (t_x < t_z)
+                            use_y = ~use_x & (t_y < t_z)
+                            ax = jnp.where(use_x, 0,
+                                           jnp.where(use_y, 1, 2))
+                            ft2 = jnp.maximum(
+                                jnp.minimum(jnp.minimum(t_x, t_y), t_z),
+                                ft)
+                            out = dict(ft=ft2,
+                                       la=(ax << 1) | live.astype(jnp.int32),
+                                       h_bit=h_bit, stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] + jnp.where(
+                                    live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) \
+                                & (jnp.sum(st["la"] & 1) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(0), st0))
+                        # hit-entry t: direct slab against the hit voxel
+                        # (1 + pm = the entry-face offset per direction)
+                        hb = st["h_bit"] & 4095
+                        ex = ((hb & 15) + 1 + pmx - fex).astype(jnp.float32)
+                        ey = (((hb >> 4) & 15) + 1 + pmy
+                              - fey).astype(jnp.float32)
+                        ez = ((hb >> 8) + 1 + pmz - fez).astype(jnp.float32)
+                        h_ft = jnp.maximum(
+                            jnp.maximum(jnp.maximum(ex * rdx, ey * rdy),
+                                        ez * rdz), 0.0)
+                        stf = dict(h_bit=st["h_bit"], h_ft=h_ft,
+                                   stp=st["stp"])
+                        return finish(stf, hit_t, hit_mat, hit_ax)
+
                     def fine(carry4):
                         hit_t, hit_mat, hit_ax, steps = carry4
                         if deep:
@@ -1018,95 +1306,11 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
                         _, st = jax.lax.while_loop(fine_cond, fine_body,
                                                    (jnp.int32(0), st0))
-
-                        # post-loop: nearest-compare + axis/sign encoding
-                        t_new = enter + st["h_ft"] * (1.0 / vpu)
-                        better = (st["h_bit"] >= 0) & (t_new < hit_t)
-                        hit_t = jnp.where(better, t_new, hit_t)
-                        if deep:
-                            h_axv = st["h_ax"]
-                            h_bitv = st["h_bit"]
-                        else:
-                            h_axv = (st["h_bit"] >> ax_shift) & 3
-                            h_bitv = st["h_bit"] & ((1 << ax_shift) - 1)
-                        sgn_ax = pick3(sgnx, sgny, sgnz, h_axv)
-                        hit_ax = jnp.where(
-                            better,
-                            h_axv * 2 + jnp.where(sgn_ax > 0, 1, 0),
-                            hit_ax)
-
-                        if brick == 16 and mat16 and fetch_mat:
-                            # in-brick material resolve from the pack_mat16
-                            # table: brick bidx's 4096 bytes are rows
-                            # [bidx*8, bidx*8+8) — 8 scalar row loads, a
-                            # 3-level select on the word's row bits, one
-                            # lane gather, byte extract.  No vote loop.
-                            def with_mat(hm):
-                                hb = h_bitv       # 0..4095 (masked by
-                                wi = hb >> 2      # `better` on no-hit)
-                                lane = wi & 127
-                                # gather each row at the lane FIRST, then
-                                # select by the destination lane's row bits
-                                # (select-then-gather would apply another
-                                # lane's row choice at the source position)
-                                g = [jnp.take_along_axis(
-                                    jnp.broadcast_to(
-                                        matw_ref[bidx * 8 + r, :][None, :],
-                                        shape), lane, axis=1)
-                                    for r in range(8)]
-                                sel = wi >> 7                  # row 0..7
-                                l1 = [jnp.where((sel & 1) == 0, g[i],
-                                                g[i + 1])
-                                      for i in (0, 2, 4, 6)]
-                                l2 = [jnp.where((sel & 2) == 0, l1[i],
-                                                l1[i + 1]) for i in (0, 2)]
-                                mword = jnp.where((sel & 4) == 0, l2[0],
-                                                  l2[1])
-                                mbyte = (mword >> ((hb & 3) * 8)) & 255
-                                return jnp.where(better, mbyte, hm)
-
-                            hit_mat = jax.lax.cond(
-                                jnp.any(better), with_mat,
-                                lambda hm: hm, hit_mat)
-                        elif brick != BRICK:
-                            # defer: pack the 8^3-brick address of the hit
-                            # voxel for the tile-end material vote
-                            MBX, MBY, _ = mat_bsize
-                            hb = h_bitv
-                            vx = bxc * brick + (hb & (brick - 1))
-                            vy = byc * brick + ((hb >> log_b) & (brick - 1))
-                            vz = bzc * brick + (hb >> (2 * log_b))
-                            if deep:
-                                # k coordinate's 2nd-brick offset
-                                hh = jnp.where(st["h_hi"] > 0, 16, 0)
-                                vx = vx + jnp.where(k == 0, hh, 0)
-                                vy = vy + jnp.where(k == 1, hh, 0)
-                                vz = vz + jnp.where(k == 2, hh, 0)
-                            bidx8 = ((vz >> 3) * MBY + (vy >> 3)) * MBX \
-                                + (vx >> 3)
-                            bit8 = ((vz & 7) << 6) | ((vy & 7) << 3) \
-                                | (vx & 7)
-                            hit_mat = jnp.where(
-                                better, (bidx8 << 9) | bit8, hit_mat)
-                        elif fetch_mat:
-                            # material fetch: once per brick, lane gather of
-                            # the hit voxel's byte from the (NB, 128) table
-                            def with_mat(hm):
-                                row = jnp.broadcast_to(
-                                    matw_ref[bidx, :][None, :], shape)
-                                hb = h_bitv & 511   # in-range on no-hit
-                                mword = jnp.take_along_axis(
-                                    row, hb >> 2, axis=1)
-                                mbyte = (mword >> ((hb & 3) * 8)) & 255
-                                return jnp.where(better, mbyte, hm)
-
-                            hit_mat = jax.lax.cond(
-                                jnp.any(better), with_mat,
-                                lambda hm: hm, hit_mat)
-                        return (hit_t, hit_mat, hit_ax, st["stp"])
+                        return finish(st, hit_t, hit_mat, hit_ax)
 
                     hit_t, hit_mat, hit_ax, steps = jax.lax.cond(
-                        jnp.any(cross), fine,
+                        jnp.any(cross),
+                        hier_fine if traversal == "hier" else fine,
                         lambda c: c, (hit_t, hit_mat, hit_ax, steps))
                     return (hit_t, hit_mat, hit_ax, steps, done_i)
 
@@ -1761,7 +1965,11 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # cam
             pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
+            # the wsm slot doubles as the pack_sub4 table (VMEM, lane-
+            # gathered) for the hierarchical march
+            pl.BlockSpec(wsm.shape, fixed,
+                         memory_space=(pltpu.VMEM if traversal == "hier"
+                                       else pltpu.SMEM)),
             matw_spec,
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
         ],
@@ -1797,6 +2005,7 @@ class MegaVolume:
         self.tables = pack_mega(volume.grid, volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(volume.grid)
         self.matw16 = pack_mat16(volume.grid)
+        self.sub4 = pack_sub4(volume.grid)
         self.occ32 = None          # 32^3 tables packed on first use
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
@@ -1813,6 +2022,7 @@ class MegaVolume:
         self.tables = pack_mega(self.volume.grid, self.volume.vpu)
         self.occ16, self.occw16, self.bsize16 = pack_mega16(self.volume.grid)
         self.matw16 = pack_mat16(self.volume.grid)
+        self.sub4 = pack_sub4(self.volume.grid)
         if self.occ32 is not None:
             self.occ32, self.occw32, self.bsize32 = pack_mega32(
                 self.volume.grid)
@@ -1851,6 +2061,8 @@ class MegaVolume:
             self.occ16, self.occw16, self.bsize16, x, y, z, val)
         self.matw16 = set_voxel_mat16(self.matw16, self.bsize16, x, y, z,
                                       val)
+        self.sub4 = set_voxel_sub4(self.sub4, self.occw16, self.bsize16,
+                                   x, y, z, val)
         if self.occ32 is not None:
             self.occ32, self.occw32 = set_voxel_tables32(
                 self.occ32, self.occw32, self.bsize32, x, y, z, val)
