@@ -36,19 +36,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # megakernel tuning for the bench workload (see mega.py docstring):
-# 16^3 super-brick hierarchical traversal (pack_mega16 word rows +
-# pack_sub4 4^3 skip table: each fine step either skips an empty 4^3
-# sub-block / empty 16x2x1 voxel-word box or steps one voxel), in-brick
-# mat16 material resolve, 128x136-px tiles.  v5e sweep at 128
-# frames/dispatch: brick16 incremental 743-757, hier 776-811 Mrays/s;
-# fine_unroll 4 > 3/5/6; 272-row tiles regress (664).  512
-# frames/dispatch amortizes the axon tunnel's ~50 ms dispatch round trip
-# to <0.1 ms/frame.
+# 16^3 super-brick span-scanning traversal (traversal='hier3':
+# per-axis pack_mega16_axes word tables lay the tile's major axis as the
+# fastest bit axis, so each fine step bit-scans the ray's whole
+# 16-voxel k-run via the f32 exponent and either resolves the hit in
+# the current (u,v) column or advances a column), in-brick mat16
+# material resolve, 128x136-px tiles.  v5e sweep at 128
+# frames/dispatch: brick16 incremental 743-757, hier (4^3 sub-block
+# skips) 776-811, hier3 868-889 Mrays/s; fine_unroll 4 > 3/6.  512
+# frames/dispatch amortizes the axon tunnel's ~50 ms dispatch round
+# trip to <0.1 ms/frame.
 TILE_ROWS = 136
 TILE_W = 128
 FINE_UNROLL = 4
 FINE_ITERS = 48
-FRAMES_PER_DISPATCH = 512
+FRAMES_PER_DISPATCH = 1024
 
 
 def main():
@@ -63,32 +65,43 @@ def main():
     width, height = 1920, 1088  # 1080p-class, multiple of the ray tile
     vol = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
     mv = mega.MegaVolume(vol)
+    occw3 = mv.ensure_axes()   # per-axis span-scan tables (host-packed)
     tb = mv.tables
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
-    def frame(theta):
+    def cam_params(theta):
         px = 2.0 * jnp.cos(theta) + 2.4 * jnp.sin(theta)
         pz = -2.4 * jnp.cos(theta) + 2.0 * jnp.sin(theta)
         cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.4), pz]),
                             jnp.zeros(3), width / height)
-        cam_p = mega.mega_camera(mv, cam, sun, width, height)
+        return mega.mega_camera(mv, cam, sun, width, height)
+
+    def frame(cam_p):
         rgba, t, aux = mega.render_mega_tiles(
-            cam_p, mv.occ16, mv.occw16, mv.sub4,
+            cam_p, mv.occ16, occw3, jnp.zeros((1, 1), jnp.int32),
             mv.matw16, mv.pal, width=width, height=height,
             tile_rows=TILE_ROWS, tile_w=TILE_W, fine_unroll=FINE_UNROLL,
             fine_iters=FINE_ITERS, track_steps=False, mat16=True,
-            traversal="hier", **mv.brick16_kw())
+            traversal="hier3", **mv.brick16_kw())
         return rgba
 
     @jax.jit
     def run_frames(n):
+        # all frame cameras in ONE vectorized op up front: the ~dozen tiny
+        # XLA camera ops per frame otherwise cost ~0.15 ms each iteration
+        cam_all = jax.vmap(cam_params)(
+            jnp.arange(FRAMES_PER_DISPATCH, dtype=jnp.float32) * 0.01)
+
         def cond(s):
             return s[0] < n
 
         def body(s):
             i, c = s
-            rgba = frame(c * 0.01)
-            # consume one texel: serializes frames, keeps the kernel live
+            # the +c*1e-38 feeds the previous frame's output into this
+            # frame's camera: serializes frames, defeats cross-frame CSE
+            cp = jax.lax.dynamic_index_in_dim(
+                cam_all, i, keepdims=False) + c * 1e-38
+            rgba = frame(cp)
             return i + 1, c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38
 
         _, c = jax.lax.while_loop(cond, body,

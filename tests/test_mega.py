@@ -224,6 +224,31 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(t6, t7)
     np.testing.assert_array_equal((aux7 & 255)[hit6], (aux6 & 255)[hit6])
 
+    # hier3 span-scanning march (per-axis pack_mega16_axes tables):
+    # identical hits/materials; no k-direction graze artifacts by
+    # construction (the bit scan covers the whole k-run)
+    _, t8, aux8 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="hier3",
+        **mv.brick16_kw())
+    t8 = np.asarray(t8); aux8 = np.asarray(aux8)
+    hit8 = t8 < 1e30
+    np.testing.assert_array_equal(np.asarray(t) < 1e30, hit8)
+    np.testing.assert_allclose(t8[hit8], np.asarray(t)[hit8], atol=2e-4)
+    np.testing.assert_array_equal((aux8 & 255)[hit8],
+                                  (np.asarray(aux) & 255)[hit8])
+
+    # hier3 + deferred-material vote: same output
+    _, t9, aux9 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+        tb.matw, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, traversal="hier3",
+        **mv.brick16_kw())
+    t9 = np.asarray(t9); aux9 = np.asarray(aux9)
+    np.testing.assert_array_equal(t8, t9)
+    np.testing.assert_array_equal((aux9 & 255)[hit8], (aux8 & 255)[hit8])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
@@ -321,6 +346,13 @@ def test_set_voxel_incremental_equals_repack(scene):
                                   np.asarray(fresh.occ16))
     np.testing.assert_array_equal(np.asarray(mv.sub4),
                                   np.asarray(fresh.sub4))
+    mv.ensure_axes()   # (packed AFTER the edits: verifies set_voxel path
+    fresh.ensure_axes()  # by editing once more below)
+    mv.set_voxel(3, 4, 5, 77)
+    vol_b.set_voxel(3, 4, 5, 77)
+    np.testing.assert_array_equal(
+        np.asarray(mv.occw3),
+        np.asarray(mega.pack_mega16_axes(vol_b.grid)))
 
     # and the rendered frame matches
     cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 2.0)

@@ -81,6 +81,12 @@ def main():
     mv = mega.MegaVolume(vol)
     tb = mv.tables
     occb = indep.occb_of(tb) if args.kernel == "indep" else None
+    # table choices must resolve OUTSIDE the traced frame fn (packing
+    # inside a jit trace turns the host-side tables into tracers)
+    from collections import defaultdict
+    mega16_occw = defaultdict(lambda: mv.occw16)
+    if args.kernel == "mega16":
+        mega16_occw["hier3"] = mv.ensure_axes()
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
     def render_frame(theta, kw):
@@ -102,8 +108,9 @@ def main():
             matw = mv.matw16 if kw.get("mat16") else tb.matw
             wsm = (mv.sub4 if kw.get("traversal") == "hier"
                    else jnp.zeros((1, 1), jnp.int32))
+            occw = mega16_occw[kw.get("traversal")]
             rgba, _, _ = mega.render_mega_tiles(
-                cam_p, mv.occ16, mv.occw16, wsm,
+                cam_p, mv.occ16, occw, wsm,
                 matw, mv.pal, width=W, height=H,
                 track_steps=False, **mv.brick16_kw(), **kw)
         elif args.kernel == "mega32":

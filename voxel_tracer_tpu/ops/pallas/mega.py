@@ -297,6 +297,66 @@ def pack_sub4(grid: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out.view(np.int32))
 
 
+def pack_mega16_axes(grid: np.ndarray) -> jnp.ndarray:
+    """Per-axis 16^3 occupancy tables for the span-scanning march
+    (`traversal='hier3'`): three copies of the pack_mega16 word table,
+    one per major axis k, each laid out with k as the FASTEST bit axis
+    (bit = v<<8 | u<<4 | ck).  A gathered word then holds the ray's
+    whole 16-voxel k-run (x2 u-pair), so one float-exponent bit scan
+    jumps straight to the next solid voxel in the run — the tile's
+    major-axis coherence (vv.cpp:449-870's slice idea) applied to the
+    bit layout itself.
+
+    Returns (3*NB, 128) i32; axis k's brick b_k = (v*BU + u)*BK + s
+    lives at row k*NB + b_k.  Table k=0 is the standard x-fastest
+    layout; k=1/2 pack the grid transposed so y/z become fastest."""
+    grid = np.asarray(grid)
+
+    def words(g):
+        gz, gy, gx = g.shape
+        bx, by, bz = (gx + 15) // 16, (gy + 15) // 16, (gz + 15) // 16
+        nb = bx * by * bz
+        pad = np.zeros((bz * 16, by * 16, bx * 16), np.uint8)
+        pad[:gz, :gy, :gx] = g
+        b = pad.reshape(bz, 16, by, 16, bx, 16).transpose(0, 2, 4, 1, 3, 5)
+        bits_ = (b.reshape(nb, 4096) != 0).astype(np.uint32)
+        w = bits_.reshape(nb, 128, 32)
+        shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+        return (w * shifts[None, None, :]).sum(
+            axis=2, dtype=np.uint64).astype(np.uint32).view(np.int32)
+
+    occw0 = words(grid)
+    occw1 = words(grid.transpose(2, 0, 1))
+    occw2 = words(grid.transpose(1, 2, 0))
+    assert occw0.shape == occw1.shape == occw2.shape
+    return jnp.asarray(np.concatenate([occw0, occw1, occw2], axis=0))
+
+
+def set_voxel_occw3(occw3, bsize16, x, y, z, val):
+    """O(1) single-voxel edit on the `pack_mega16_axes` table (all three
+    per-axis copies)."""
+    BX, BY, BZ = bsize16
+    nb = BX * BY * BZ
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    solid = jnp.asarray(val, jnp.int32) != 0
+    # per-axis (k, u, v) coords and brick dims: k=0 -> (x, y, z);
+    # k=1 -> (y, z, x); k=2 -> (z, x, y)
+    for kk, (ck, cu, cv, bk, bu, bv) in enumerate(
+            ((x, y, z, BX, BY, BZ), (y, z, x, BY, BZ, BX),
+             (z, x, y, BZ, BX, BY))):
+        bidx = ((cv >> 4) * bu + (cu >> 4)) * bk + (ck >> 4)
+        bit = ((cv & 15) << 8) | ((cu & 15) << 4) | (ck & 15)
+        row = kk * nb + bidx
+        lane = bit >> 5
+        mask = jnp.int32(1) << (bit & 31)
+        old = occw3[row, lane]
+        new = jnp.where(solid, old | mask, old & ~mask)
+        occw3 = occw3.at[row, lane].set(new)
+    return occw3
+
+
 def set_voxel_sub4(sub4, occw16, bsize16, x, y, z, val):
     """O(1) single-voxel edit on the `pack_sub4` table.  On clear, the
     sub-block's new occupancy is re-derived from the brick's occw16 words
@@ -523,13 +583,19 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     rbpu = 1.0 / bpu
     log_b = int(np.log2(brick))
     assert 1 << log_b == brick and brick in (8, 16, 32)
-    assert brick == BRICK or traversal in ("brick", "patch", "hier"), \
-        "brick=16/32 supports the 'brick'/'patch'/'hier' traversals only"
+    assert brick == BRICK or traversal in ("brick", "patch", "hier",
+                                           "hier3"), \
+        "brick=16/32 supports brick/patch/hier/hier3 traversals only"
     if traversal == "hier":
         # hierarchical fine march: needs the pack_sub4 table in the wsm
         # slot and the brick16 one-row occupancy layout
         assert brick == 16 and slice_depth == 1, \
             "hier traversal requires brick=16, slice_depth=1"
+    if traversal == "hier3":
+        # span-scanning march: needs the per-axis pack_mega16_axes table
+        # as occw
+        assert brick == 16 and slice_depth == 1, \
+            "hier3 traversal requires brick=16, slice_depth=1"
     assert brick != 32 or traversal == "brick", \
         "brick=32 supports the 'brick' traversal only"
     # h_bit packs the in-brick voxel bit plus the entry axis; the axis
@@ -538,7 +604,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # mat16: resolve materials inside the brick visit from a pack_mat16
     # table (8 scalar-row loads + select tree + lane gather) — no vote
     if mat16:
-        assert brick == 16 and traversal in ("brick", "patch", "hier") \
+        assert brick == 16 and traversal in ("brick", "patch", "hier",
+                                             "hier3") \
             and matw_space == "vmem" \
             and not (slice_depth == 2 and traversal == "brick"), \
             "mat16 requires brick=16 brick/patch traversal, VMEM matw, " \
@@ -898,9 +965,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     cross = (tf - 1e-5 >= enter) & in_slice & ~done \
                         & (enter < hit_t)
 
-                    def finish(st, hit_t, hit_mat, hit_ax):
+                    def finish(st, hit_t, hit_mat, hit_ax, bit_map=None,
+                               ax_map=None):
                         # post-march: nearest-compare + axis/sign encoding
-                        # + material resolve (shared by fine / hier_fine)
+                        # + material resolve (shared by fine / hier_fine /
+                        # hier3_fine; bit_map/ax_map translate a march's
+                        # local (k,u,v) encoding to global axes once here)
                         t_new = enter + st["h_ft"] * (1.0 / vpu)
                         better = (st["h_bit"] >= 0) & (t_new < hit_t)
                         hit_t = jnp.where(better, t_new, hit_t)
@@ -910,6 +980,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         else:
                             h_axv = (st["h_bit"] >> ax_shift) & 3
                             h_bitv = st["h_bit"] & ((1 << ax_shift) - 1)
+                        if ax_map is not None:
+                            h_axv = ax_map(h_axv)
+                        if bit_map is not None:
+                            h_bitv = bit_map(h_bitv)
                         sgn_ax = pick3(sgnx, sgny, sgnz, h_axv)
                         hit_ax = jnp.where(
                             better,
@@ -1114,6 +1188,145 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                    stp=st["stp"])
                         return finish(stf, hit_t, hit_mat, hit_ax)
 
+                    def hier3_fine(carry4):
+                        # span-scanning march (brick=16, per-axis tables):
+                        # the occw3 word for the ray's cell holds its whole
+                        # 16-voxel k-run (x2 u-pair), so each step either
+                        # resolves the hit inside the current (u, v) column
+                        # with one float-exponent bit scan, or advances to
+                        # the next u/v column boundary.  <= ~33 steps per
+                        # brick visit by construction (u+v crossings), and
+                        # no k-direction graze artifacts at all.
+                        hit_t, hit_mat, hit_ax, steps = carry4
+                        bidx3 = (sv * nu + su) * nk + s
+                        occ_row = jnp.broadcast_to(
+                            occw_ref[k * NB + bidx3, :][None, :], shape)
+                        bk0 = s.astype(jnp.float32) * rbpu
+                        bu0 = su.astype(jnp.float32) * rbpu
+                        bv0 = sv.astype(jnp.float32) * rbpu
+                        fek = (ok_ + dk_ * enter - bk0) * vpu
+                        feu = (ou_ + du_ * enter - bu0) * vpu
+                        fev = (ov_ + dv_ * enter - bv0) * vpu
+                        EPS = jnp.float32(5e-4)
+                        nek = dk_ * EPS + fek
+                        neu = du_ * EPS + feu
+                        nev = dv_ * EPS + fev
+                        kpos = ksign > 0
+                        pk3 = jnp.where(kpos, -1, 0)
+                        sgnu3 = jnp.where(jnp.signbit(du_), -1, 1)
+                        sgnv3 = jnp.where(jnp.signbit(dv_), -1, 1)
+                        pu3 = -jnp.maximum(sgnu3, 0)
+                        pv3 = -jnp.maximum(sgnv3, 0)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
+                        ax0k = jnp.where(ax0 == k, 0,
+                                         jnp.where(ax0 == ku, 1, 2))
+
+                        st0 = dict(ft=jnp.zeros(shape, jnp.float32),
+                                   la=(ax0k << 1) | cross.astype(jnp.int32),
+                                   h_bit=jnp.full(shape, -1, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            la = st["la"]
+                            live_b = (la & 1) > 0
+                            ft = st["ft"]
+                            ckr = jnp.floor(nek + dk_ * ft).astype(jnp.int32)
+                            cur = jnp.floor(neu + du_ * ft).astype(jnp.int32)
+                            cvr = jnp.floor(nev + dv_ * ft).astype(jnp.int32)
+                            oob = ((ckr | cur | cvr) & ~15) != 0
+                            live_b = live_b & ~oob
+                            ck_ = ckr & 15
+                            cu_ = cur & 15
+                            cv_ = cvr & 15
+                            bit = (cv_ << 8) | (cu_ << 4) | ck_
+                            w = jnp.take_along_axis(occ_row, bit >> 5,
+                                                    axis=1)
+                            row16 = (w >> ((cu_ & 1) << 4)) & 0xFFFF
+                            # bits at-or-ahead of ck in the ray's direction
+                            mpos = row16 & (jnp.int32(-1) << ck_)
+                            mneg = row16 & ((jnp.int32(2) << ck_) - 1)
+                            m2 = jnp.where(kpos, mpos, mneg)
+                            found = m2 != 0
+                            # nearest candidate: lowest set bit (+k) /
+                            # highest set bit (-k) via the f32 exponent
+                            pickv = jnp.where(kpos, m2 & -m2, m2)
+                            ckc = (jax.lax.bitcast_convert_type(
+                                pickv.astype(jnp.float32), jnp.int32)
+                                >> 23) - 127
+                            t_cand = ((ckc + 1 + pk3).astype(jnp.float32)
+                                      - fek) * rdk
+                            # next u/v column boundary (u skips its pair
+                            # when the whole word is empty)
+                            mu = jnp.where(w == 0, -2, -1)
+                            tgu = (cur & mu) + ((-mu) & pu3)
+                            tgv = cvr + (1 & pv3)
+                            tu = (tgu.astype(jnp.float32) - feu) * rdu
+                            tv = (tgv.astype(jnp.float32) - fev) * rdv
+                            t_uv = jnp.minimum(tu, tv)
+                            hit_now = found & (ckc == ck_)
+                            hit_ahead = found & ~hit_now & (t_cand < t_uv)
+                            is_hit = live_b & (hit_now | hit_ahead)
+                            bit_h = jnp.where(hit_now, bit,
+                                              (cv_ << 8) | (cu_ << 4) | ckc)
+                            ax_h = jnp.where(hit_now, la >> 1, 0)
+                            h_bit = jnp.where(
+                                is_hit, bit_h | (ax_h << ax_shift),
+                                st["h_bit"])
+                            live = live_b & ~is_hit
+                            ft2 = jnp.maximum(t_uv, ft)
+                            ax2 = jnp.where(tu < tv, 1, 2)
+                            out = dict(ft=ft2,
+                                       la=(ax2 << 1) | live.astype(jnp.int32),
+                                       h_bit=h_bit, stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] + jnp.where(
+                                    live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) \
+                                & (jnp.sum(st["la"] & 1) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        # 2-step prologue: most visits resolve in 1-2 span
+                        # steps (p50 = 1), so the quick majority votes and
+                        # exits before paying a full unroll chunk
+                        stp0 = fine_step(fine_step(st0))
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(2), stp0))
+                        # hit-entry t: direct slab against the hit voxel
+                        hb = st["h_bit"] & 4095
+                        ek_ = ((hb & 15) + 1 + pk3 - fek).astype(jnp.float32)
+                        eu_ = (((hb >> 4) & 15) + 1 + pu3
+                               - feu).astype(jnp.float32)
+                        ev_ = ((hb >> 8) + 1 + pv3 - fev).astype(jnp.float32)
+                        h_ft = jnp.maximum(
+                            jnp.maximum(jnp.maximum(ek_ * rdk, eu_ * rdu),
+                                        ev_ * rdv), 0.0)
+                        stf = dict(h_bit=st["h_bit"], h_ft=h_ft,
+                                   stp=st["stp"])
+
+                        def bit_map(hb_):
+                            ck2 = hb_ & 15
+                            cu2 = (hb_ >> 4) & 15
+                            cv2 = hb_ >> 8
+                            gx = pick3(ck2, cv2, cu2, k)
+                            gy = pick3(cu2, ck2, cv2, k)
+                            gz = pick3(cv2, cu2, ck2, k)
+                            return (gz << 8) | (gy << 4) | gx
+
+                        return finish(stf, hit_t, hit_mat, hit_ax,
+                                      bit_map=bit_map,
+                                      ax_map=lambda a: pick3(k, ku, kv, a))
+
                     def fine(carry4):
                         hit_t, hit_mat, hit_ax, steps = carry4
                         if deep:
@@ -1310,7 +1523,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
 
                     hit_t, hit_mat, hit_ax, steps = jax.lax.cond(
                         jnp.any(cross),
-                        hier_fine if traversal == "hier" else fine,
+                        {"hier": hier_fine,
+                         "hier3": hier3_fine}.get(traversal, fine),
                         lambda c: c, (hit_t, hit_mat, hit_ax, steps))
                     return (hit_t, hit_mat, hit_ax, steps, done_i)
 
@@ -2006,6 +2220,7 @@ class MegaVolume:
         self.occ16, self.occw16, self.bsize16 = pack_mega16(volume.grid)
         self.matw16 = pack_mat16(volume.grid)
         self.sub4 = pack_sub4(volume.grid)
+        self.occw3 = None          # per-axis tables packed on first use
         self.occ32 = None          # 32^3 tables packed on first use
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
@@ -2023,6 +2238,8 @@ class MegaVolume:
         self.occ16, self.occw16, self.bsize16 = pack_mega16(self.volume.grid)
         self.matw16 = pack_mat16(self.volume.grid)
         self.sub4 = pack_sub4(self.volume.grid)
+        if self.occw3 is not None:
+            self.occw3 = pack_mega16_axes(self.volume.grid)
         if self.occ32 is not None:
             self.occ32, self.occw32, self.bsize32 = pack_mega32(
                 self.volume.grid)
@@ -2035,6 +2252,12 @@ class MegaVolume:
         """kwargs for render_mega_tiles in 16^3 super-brick mode."""
         return dict(bsize=self.bsize16, brick=16,
                     mat_bsize=self.tables.bsize, vpu=self.tables.vpu)
+
+    def ensure_axes(self):
+        """Pack (and cache) the per-axis occw3 table for hier3."""
+        if self.occw3 is None:
+            self.occw3 = pack_mega16_axes(self.volume.grid)
+        return self.occw3
 
     def brick32_kw(self):
         """kwargs for render_mega_tiles in 32^3 super-brick mode
@@ -2063,6 +2286,9 @@ class MegaVolume:
                                       val)
         self.sub4 = set_voxel_sub4(self.sub4, self.occw16, self.bsize16,
                                    x, y, z, val)
+        if self.occw3 is not None:
+            self.occw3 = set_voxel_occw3(self.occw3, self.bsize16,
+                                         x, y, z, val)
         if self.occ32 is not None:
             self.occ32, self.occw32 = set_voxel_tables32(
                 self.occ32, self.occw32, self.bsize32, x, y, z, val)
