@@ -78,6 +78,7 @@ def bench_flat_256():
     FRAMES = 256
     vol = VoxelVolume.noise_filled((64, 64, 64), pos=(0, 0, 0), vpu=20.0)
     mv = mega.MegaVolume(vol)
+    occw3 = mv.ensure_axes()
     tb = mv.tables
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
@@ -88,10 +89,11 @@ def bench_flat_256():
                             jnp.zeros(3), W / H)
         cam_p = mega.mega_camera(mv, cam, sun, W, H)
         rgba, _, _ = mega.render_mega_tiles(
-            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
-            tb.matw, mv.pal, width=W, height=H,
-            tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
-            track_steps=False, **mv.brick16_kw())
+            cam_p, mv.occ16, occw3, jnp.zeros((1, 1), jnp.int32),
+            mv.matw16, mv.pal, width=W, height=H,
+            tile_rows=64, tile_w=128, fine_unroll=4, fine_iters=48,
+            track_steps=False, mat16=True, traversal="hier3",
+            **mv.brick16_kw())
         return rgba[0, 0].astype(jnp.float32) * 1e-38
 
     dt = _timeit(_frame_loop(frame, FRAMES), _force_sync) / FRAMES
@@ -200,6 +202,7 @@ def bench_vox_brickmap():
     FRAMES = 64
     vol = VoxelVolume.from_vox("/root/reference/assets/vox/crate-16.vox")
     mv = mega.MegaVolume(vol)
+    occw3 = mv.ensure_axes()
     tb = mv.tables
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
@@ -210,10 +213,11 @@ def bench_vox_brickmap():
                             jnp.zeros(3), W / H)
         cam_p = mega.mega_camera(mv, cam, sun, W, H)
         rgba, _, _ = mega.render_mega_tiles(
-            cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32),
-            tb.matw, mv.pal, width=W, height=H,
-            tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48,
-            track_steps=False, **mv.brick16_kw())
+            cam_p, mv.occ16, occw3, jnp.zeros((1, 1), jnp.int32),
+            mv.matw16, mv.pal, width=W, height=H,
+            tile_rows=64, tile_w=128, fine_unroll=4, fine_iters=48,
+            track_steps=False, mat16=True, traversal="hier3",
+            **mv.brick16_kw())
         return rgba[0, 0].astype(jnp.float32) * 1e-38
 
     dt = _timeit(_frame_loop(frame, FRAMES), _force_sync) / FRAMES

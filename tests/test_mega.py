@@ -305,6 +305,16 @@ def test_lambert_mega_brick16_agrees(scene):
     np.testing.assert_allclose(a["irradiance"][hit], b["irradiance"][hit],
                                atol=1e-5)
 
+    # span-scanning primaries + shadows (use_hier3): same lit frame up to
+    # the corner-graze artifact class on depth
+    c = {k: np.asarray(v) for k, v in mega.render_lambert_mega(
+        mv, cam, 64, 32, interpret=True, use_hier3=True).items()}
+    np.testing.assert_array_equal(hit, c["depth"] < 1e30)
+    np.testing.assert_allclose(a["depth"][hit], c["depth"][hit], atol=2e-4)
+    np.testing.assert_array_equal(a["material"][hit], c["material"][hit])
+    np.testing.assert_allclose(a["irradiance"][hit], c["irradiance"][hit],
+                               atol=1e-5)
+
 
 def test_set_voxel_incremental_equals_repack(scene):
     """Edit-then-render == repack-then-render for every packed table

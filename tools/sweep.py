@@ -41,10 +41,14 @@ DEFAULT_CONFIGS = {
         dict(tile_rows=32, tile_w=64, fine_unroll=6, slice_depth=2),
     ],
     "mega16": [
+        dict(tile_rows=136, tile_w=128, fine_unroll=4, fine_iters=48,
+             mat16=True, traversal="hier3"),
+        dict(tile_rows=136, tile_w=128, fine_unroll=4, fine_iters=48,
+             mat16=True, traversal="hier"),
+        dict(tile_rows=136, tile_w=128, fine_unroll=6, fine_iters=48,
+             mat16=True),
         dict(tile_rows=64, tile_w=128, fine_unroll=6, fine_iters=48),
-        dict(tile_rows=64, tile_w=128, fine_unroll=8, fine_iters=48),
         dict(tile_rows=32, tile_w=64, fine_unroll=6, fine_iters=48),
-        dict(tile_rows=64, tile_w=128, fine_unroll=12, fine_iters=48),
     ],
     "mega32": [
         dict(tile_rows=136, tile_w=128, fine_unroll=6, fine_iters=96),

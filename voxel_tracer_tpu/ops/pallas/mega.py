@@ -2390,12 +2390,12 @@ def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
     static_argnames=("bsize", "vpu", "tile_rows", "max_bricks_per_tile",
                      "fine_iters", "fetch_mat", "fine_unroll",
                      "track_steps", "word_gather", "interpret", "brick",
-                     "mat_bsize", "matw_space"))
+                     "mat_bsize", "matw_space", "traversal"))
 def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                max_bricks_per_tile=64, fine_iters=24, fetch_mat=False,
                fine_unroll=4, track_steps=False, word_gather=True,
                interpret=False, brick=BRICK, mat_bsize=None,
-               matw_space="vmem"):
+               matw_space="vmem", traversal="brick"):
     """Trace N local-space rays through the fast kernel (ray_source='refs').
 
     The ray-list twin of `render_mega_tiles` — for shadow rays and bounce
@@ -2418,7 +2418,7 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
         ray_source="refs", brick=brick, mat_bsize=mat_bsize,
-        matw_space=matw_space)
+        matw_space=matw_space, traversal=traversal)
 
     cam = jnp.zeros((29,), jnp.float32)
     pal = jnp.zeros((8, 128), jnp.float32)
@@ -2471,14 +2471,14 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                      "tile_w", "ambient", "fine_unroll", "interpret",
                      "shadow_tile_rows", "track_steps", "real_width",
                      "real_height", "brick", "mat_bsize", "matw_space",
-                     "fine_iters", "mat16"))
+                     "fine_iters", "mat16", "traversal"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
                          interpret, shadow_tile_rows, track_steps,
                          real_width=None, real_height=None, brick=BRICK,
                          mat_bsize=None, matw_space="vmem", fine_iters=24,
-                         mat16=False):
+                         mat16=False, traversal="brick"):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -2492,7 +2492,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         sky_mode="none", shading="raw", fine_unroll=fine_unroll,
         track_steps=track_steps, interpret=interpret, brick=brick,
         mat_bsize=mat_bsize, matw_space=matw_space, fine_iters=fine_iters,
-        mat16=mat16)
+        mat16=mat16, traversal=traversal)
     tile_h = tile_rows * LANES // tile_w
     n = width * height
     t = untile(t.reshape(n), height, width, tile_h, tile_w)
@@ -2532,7 +2532,8 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                     jnp.zeros((1, 128), jnp.int32),   # no materials needed
                     bsize=bsize, vpu=vpu, tile_rows=shadow_tile_rows,
                     fine_unroll=fine_unroll, fine_iters=fine_iters,
-                    interpret=interpret, brick=brick, mat_bsize=mat_bsize)
+                    interpret=interpret, brick=brick, mat_bsize=mat_bsize,
+                    traversal=traversal)
     occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
     # unresolved shadow rays (sun fighting the tile axis) fall back to lit
 
@@ -2562,7 +2563,8 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
                         sun_dir=None, sun_light=None, ambient=0.2,
                         tile_rows=8, tile_w=32, fine_unroll=4,
                         interpret=False, shadow_tile_rows=8,
-                        track_steps=True, use_brick16=False):
+                        track_steps=True, use_brick16=False,
+                        use_hier3=False):
     """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
     ray-list shadow pass + gather-free XLA shading/tonemap.
 
@@ -2584,10 +2586,13 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     wp = -(-width // tile_w) * tile_w    # pad to tile grid, crop after
     hp = -(-height // tile_h) * tile_h
     dummy_wsm = jnp.zeros((1, 1), jnp.int32)
-    if use_brick16:
+    if use_brick16 or use_hier3:
         kw = dict(occ=mv.occ16, occw=mv.occw16, wsm=dummy_wsm,
                   bsize=mv.bsize16, brick=16, mat_bsize=tb.bsize,
                   fine_iters=48)
+        if use_hier3:
+            # span-scanning march: per-axis occupancy word tables
+            kw.update(occw=mv.ensure_axes(), traversal="hier3")
         if mv.mat16_fits_vmem():
             # in-brick material resolve from the pack_mat16 table
             kw.update(matw=mv.matw16, mat16=True)
