@@ -242,8 +242,12 @@ def bench_multiobj_shadow():
         # sub-voxel camera dolly: frames differ so XLA cannot hoist the
         # render out of the loop, pose is still the profiling pose
         cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
+        # shadow_tile_rows=128: the sun-shadow ray list is the frame's
+        # dominant cost here; 16384-ray tiles amortize its per-slice
+        # footprint reductions 3x over the 2048-ray default (45 -> 15 ms)
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=32,
                                        tile_w=64, fine_unroll=6,
+                                       shadow_tile_rows=128,
                                        track_steps=False, use_brick16=True)
         return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
 

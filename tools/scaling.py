@@ -30,7 +30,7 @@ sys.path.insert(0, _ROOT)
 TRACE_RAYS = 512 * 512
 TRACE_REPS = 8
 GRID = 64
-TRAIN_RAYS = 128 * 1024
+TRAIN_RAYS = 512 * 1024  # large batch: amortizes the fixed full-grid grad psum
 MAX_STEPS = 128
 
 
