@@ -215,7 +215,7 @@ def bench_vox_brickmap():
         rgba, _, _ = mega.render_mega_tiles(
             cam_p, mv.occ16, occw3, jnp.zeros((1, 1), jnp.int32),
             mv.matw16, mv.pal, width=W, height=H,
-            tile_rows=64, tile_w=128, fine_unroll=4, fine_iters=48,
+            tile_rows=96, tile_w=128, fine_unroll=4, fine_iters=48,
             track_steps=False, mat16=True, traversal="hier3",
             **mv.brick16_kw())
         return rgba[0, 0].astype(jnp.float32) * 1e-38

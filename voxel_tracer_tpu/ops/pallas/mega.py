@@ -1265,7 +1265,9 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             tu = (tgu.astype(jnp.float32) - feu) * rdu
                             tv = (tgv.astype(jnp.float32) - fev) * rdv
                             t_uv = jnp.minimum(tu, tv)
-                            hit_now = found & (ckc == ck_)
+                            # found is implied: an empty m2 yields
+                            # ckc = -127, never a valid cell coord
+                            hit_now = ckc == ck_
                             hit_ahead = found & ~hit_now & (t_cand < t_uv)
                             is_hit = live_b & (hit_now | hit_ahead)
                             bit_h = jnp.where(hit_now, bit,
