@@ -118,8 +118,8 @@ def main():
     fs = FastScene.build(vols)
     out = render_lambert_fast(fs, cam, w, h)
     surf = Surface(w, h).from_float(np.asarray(out["image"]))
-    for li, line in enumerate(game.hud_lines()):
-        surf.print(line, 4, 4 + li * 10, (255, 255, 0))
+    from voxel_tracer_tpu.game.gui import GameGui, draw_game_gui
+    draw_game_gui(surf, game, GameGui())   # state-dispatched HUD/menu
     path = f"{args.out_prefix}_final.png"
     surf.save_png(path)
     print(f"wrote {path}")

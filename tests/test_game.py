@@ -115,3 +115,69 @@ class TestGame:
         enemy.pos = game.player.pos + np.array([0.1, 0.0, 0.0])
         game.tick(1 / 60, Input())
         assert game.state == GameState.GAME_OVER
+
+
+class TestGameGui:
+    """Menu / HUD / game-over screens (src/game/gui.h + game.cpp:103-223)."""
+
+    def _game(self):
+        vol = _solid_volume(8)
+        scene = Scene(volumes=[vol])
+        rng = np.random.RandomState(0)
+        return Game(scene, [Enemy(vol, rng)], aspect=1.0)
+
+    def test_menu_navigation_and_start(self):
+        from voxel_tracer_tpu.game.gui import GameGui, MenuInput, draw_game_gui
+        from voxel_tracer_tpu.utils.framebuffer import Surface
+
+        game = self._game()
+        gui = GameGui()
+        surf = Surface(160, 120)
+        # render the menu: overlay tints the (black) frame blue-ish
+        draw_game_gui(surf, game, gui)
+        assert game.state == GameState.MENU
+        assert surf.pixels[:, :, 2].mean() > surf.pixels[:, :, 1].mean()
+        # navigate down to QUIT, back up, confirm PLAY
+        gui.tick(game, MenuInput(down=True))
+        assert gui.focus == 1
+        gui.tick(game, MenuInput(up=True))
+        gui.tick(game, MenuInput(confirm=True))
+        assert game.state == GameState.GAME
+
+    def test_quit_and_game_over_screens(self):
+        from voxel_tracer_tpu.game.gui import GameGui, MenuInput, draw_game_gui
+        from voxel_tracer_tpu.utils.framebuffer import Surface
+
+        game = self._game()
+        gui = GameGui()
+        gui.tick(game, MenuInput(down=True))
+        gui.tick(game, MenuInput(confirm=True))          # QUIT
+        assert gui.quit_requested
+
+        game2 = self._game()
+        gui2 = GameGui()
+        game2.start()
+        game2.state = GameState.GAME_OVER
+        game2.score = 7
+        surf = Surface(160, 120)
+        draw_game_gui(surf, game2, gui2)                  # red overlay
+        assert surf.pixels[:, :, 0].mean() > surf.pixels[:, :, 2].mean()
+        # RETRY restarts the run
+        gui2.tick(game2, MenuInput(confirm=True))
+        assert game2.state == GameState.GAME
+        # back to game over -> MENU button returns to menu
+        game2.state = GameState.GAME_OVER
+        gui2.tick(game2, MenuInput(down=True))
+        gui2.tick(game2, MenuInput(confirm=True))
+        assert game2.state == GameState.MENU
+
+    def test_hud_draws_score_text(self):
+        from voxel_tracer_tpu.game.gui import GameGui, draw_game_gui
+        from voxel_tracer_tpu.utils.framebuffer import Surface
+
+        game = self._game()
+        game.start()
+        gui = GameGui()
+        surf = Surface(160, 120)
+        draw_game_gui(surf, game, gui)
+        assert surf.pixels.any()          # HUD glyphs landed on the frame
