@@ -245,8 +245,8 @@ def bench_multiobj_shadow():
         # shadow_tile_rows=128: the sun-shadow ray list is the frame's
         # dominant cost here; 16384-ray tiles amortize its per-slice
         # footprint reductions 3x over the 2048-ray default (45 -> 15 ms)
-        out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=32,
-                                       tile_w=64, fine_unroll=6,
+        out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=64,
+                                       tile_w=128, fine_unroll=6,
                                        shadow_tile_rows=128,
                                        track_steps=False, use_brick16=True)
         return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
