@@ -249,6 +249,17 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(t8, t9)
     np.testing.assert_array_equal((aux9 & 255)[hit8], (aux8 & 255)[hit8])
 
+    # hier3 two-slice windows (slice_depth=2, measured slower on the
+    # dense bench but supported): same output
+    _, t10, aux10 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="hier3",
+        slice_depth=2, **mv.brick16_kw())
+    t10 = np.asarray(t10); aux10 = np.asarray(aux10)
+    np.testing.assert_array_equal(t8, t10)
+    np.testing.assert_array_equal((aux10 & 255)[hit8], (aux8 & 255)[hit8])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,

@@ -593,9 +593,11 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             "hier traversal requires brick=16, slice_depth=1"
     if traversal == "hier3":
         # span-scanning march: needs the per-axis pack_mega16_axes table
-        # as occw
-        assert brick == 16 and slice_depth == 1, \
-            "hier3 traversal requires brick=16, slice_depth=1"
+        # as occw.  slice_depth>1 windows amortize the footprint/vote
+        # skeleton; bricks still march serially near-to-far inside
+        # (the brick_body sub-slice loop)
+        assert brick == 16 and slice_depth in (1, 2), \
+            "hier3 traversal requires brick=16, slice_depth in (1, 2)"
     assert brick != 32 or traversal == "brick", \
         "brick=32 supports the 'brick' traversal only"
     # h_bit packs the in-brick voxel bit plus the entry axis; the axis
