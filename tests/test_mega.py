@@ -260,6 +260,18 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(t8, t10)
     np.testing.assert_array_equal((aux10 & 255)[hit8], (aux8 & 255)[hit8])
 
+    # hier3 + 4^3 block skipping (sub_skip, pack_sub4_axes in the wsm
+    # slot; measured slower on the dense bench — span scanning already
+    # clears empty space — but supported): same output
+    _, t11, aux11 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), mv.ensure_sub_axes(),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="hier3",
+        sub_skip=True, **mv.brick16_kw())
+    t11 = np.asarray(t11); aux11 = np.asarray(aux11)
+    np.testing.assert_array_equal(t8, t11)
+    np.testing.assert_array_equal((aux11 & 255)[hit8], (aux8 & 255)[hit8])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,
@@ -369,11 +381,20 @@ def test_set_voxel_incremental_equals_repack(scene):
                                   np.asarray(fresh.sub4))
     mv.ensure_axes()   # (packed AFTER the edits: verifies set_voxel path
     fresh.ensure_axes()  # by editing once more below)
+    mv.ensure_sub_axes()
     mv.set_voxel(3, 4, 5, 77)
     vol_b.set_voxel(3, 4, 5, 77)
     np.testing.assert_array_equal(
         np.asarray(mv.occw3),
         np.asarray(mega.pack_mega16_axes(vol_b.grid)))
+    np.testing.assert_array_equal(
+        np.asarray(mv.sub4x),
+        np.asarray(mega.pack_sub4_axes(vol_b.grid)))
+    mv.set_voxel(3, 4, 5, 0)   # clear: exercises the block-any recheck
+    vol_b.set_voxel(3, 4, 5, 0)
+    np.testing.assert_array_equal(
+        np.asarray(mv.sub4x),
+        np.asarray(mega.pack_sub4_axes(vol_b.grid)))
 
     # and the rendered frame matches
     cam = Camera.create((1.2, 0.9, -1.4), (0.1, -0.05, 0.2), 2.0)

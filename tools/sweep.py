@@ -89,8 +89,10 @@ def main():
     # inside a jit trace turns the host-side tables into tracers)
     from collections import defaultdict
     mega16_occw = defaultdict(lambda: mv.occw16)
+    mega16_sub = None
     if args.kernel == "mega16":
         mega16_occw["hier3"] = mv.ensure_axes()
+        mega16_sub = mv.ensure_sub_axes()
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 
     def render_frame(theta, kw):
@@ -111,6 +113,7 @@ def main():
         elif args.kernel == "mega16":
             matw = mv.matw16 if kw.get("mat16") else tb.matw
             wsm = (mv.sub4 if kw.get("traversal") == "hier"
+                   else mega16_sub if kw.get("sub_skip")
                    else jnp.zeros((1, 1), jnp.int32))
             occw = mega16_occw[kw.get("traversal")]
             rgba, _, _ = mega.render_mega_tiles(

@@ -332,6 +332,19 @@ def pack_mega16_axes(grid: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.concatenate([occw0, occw1, occw2], axis=0))
 
 
+def pack_sub4_axes(grid: np.ndarray) -> jnp.ndarray:
+    """Per-axis 4^3 sub-block occupancy for hier3's `sub_skip`: three
+    copies of the pack_sub4 table, transposed to match the
+    `pack_mega16_axes` (k, u, v) layouts — sub-block bit index
+    sb = (v4<<4) | (u4<<2) | k4 for axis k's table.  Shape
+    (3 * ceil(NB/64), 128); axis k's brick b_k lives at row
+    k*rows + (b_k >> 6), lanes (b_k & 63)*2 + w."""
+    s0 = np.asarray(pack_sub4(grid))
+    s1 = np.asarray(pack_sub4(grid.transpose(2, 0, 1)))
+    s2 = np.asarray(pack_sub4(grid.transpose(1, 2, 0)))
+    return jnp.asarray(np.concatenate([s0, s1, s2], axis=0))
+
+
 def set_voxel_occw3(occw3, bsize16, x, y, z, val):
     """O(1) single-voxel edit on the `pack_mega16_axes` table (all three
     per-axis copies)."""
@@ -355,6 +368,45 @@ def set_voxel_occw3(occw3, bsize16, x, y, z, val):
         new = jnp.where(solid, old | mask, old & ~mask)
         occw3 = occw3.at[row, lane].set(new)
     return occw3
+
+
+def set_voxel_sub4_axes(sub4x, occw16, bsize16, x, y, z, val):
+    """O(1) single-voxel edit on the `pack_sub4_axes` table: the 4^3
+    block's occupancy is the same set of voxels in all three per-axis
+    copies, so derive it once from occw16 and write the three bits."""
+    BX, BY, BZ = bsize16
+    nb = BX * BY * BZ
+    rows = (nb + 63) // 64
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    solid = jnp.asarray(val, jnp.int32) != 0
+    # block any() from the global occw16 words (see set_voxel_sub4)
+    bidx_g = ((z >> 4) * BY + (y >> 4)) * BX + (x >> 4)
+    z0 = z & 12
+    y0 = y & 12
+    x0 = x & 12
+    xmask = jnp.int32(0xF) << x0
+    rowmask = xmask | (xmask << 16)
+    any_bits = jnp.int32(0)
+    for dz in range(4):
+        for dy2 in range(2):
+            widx = ((z0 + dz) << 3) + (y0 >> 1) + dy2
+            any_bits = any_bits | (occw16[bidx_g, widx] & rowmask)
+    bit_on = solid | (any_bits != 0)
+    for kk, (ck, cu, cv, bk, bu, bv) in enumerate(
+            ((x, y, z, BX, BY, BZ), (y, z, x, BY, BZ, BX),
+             (z, x, y, BZ, BX, BY))):
+        bidx = ((cv >> 4) * bu + (cu >> 4)) * bk + (ck >> 4)
+        sb = ((((cv >> 2) & 3)) << 4) | (((cu >> 2) & 3) << 2) \
+            | ((ck >> 2) & 3)
+        row = kk * rows + (bidx >> 6)
+        lane = ((bidx & 63) << 1) + (sb >> 5)
+        mask = jnp.int32(1) << (sb & 31)
+        old = sub4x[row, lane]
+        new = jnp.where(bit_on, old | mask, old & ~mask)
+        sub4x = sub4x.at[row, lane].set(new)
+    return sub4x
 
 
 def set_voxel_sub4(sub4, occw16, bsize16, x, y, z, val):
@@ -549,7 +601,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       fine_unroll=1, track_steps=True, slice_depth=1,
                       traversal="brick", mat_rounds=128,
                       ray_source="camera", brick=BRICK, mat_bsize=None,
-                      matw_space="vmem", mat16=False, footprint="corners"):
+                      matw_space="vmem", mat16=False, footprint="corners",
+                      sub_skip=False):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     matw_space: 'vmem' (material table resident on-chip — small scenes),
@@ -598,6 +651,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         # (the brick_body sub-slice loop)
         assert brick == 16 and slice_depth in (1, 2), \
             "hier3 traversal requires brick=16, slice_depth in (1, 2)"
+    assert not sub_skip or traversal == "hier3", \
+        "sub_skip (pack_sub4_axes block skipping) is a hier3 option"
     assert brick != 32 or traversal == "brick", \
         "brick=32 supports the 'brick' traversal only"
     # h_bit packs the in-brick voxel bit plus the entry axis; the axis
@@ -1203,6 +1258,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         bidx3 = (sv * nu + su) * nk + s
                         occ_row = jnp.broadcast_to(
                             occw_ref[k * NB + bidx3, :][None, :], shape)
+                        if sub_skip:
+                            rows_s = (NB + 63) // 64
+                            sub_row = jnp.broadcast_to(
+                                wsm_ref[k * rows_s + (bidx3 >> 6), :]
+                                [None, :], shape)
+                            sub_base = (bidx3 & 63) * 2
                         bk0 = s.astype(jnp.float32) * rbpu
                         bu0 = su.astype(jnp.float32) * rbpu
                         bv0 = sv.astype(jnp.float32) * rbpu
@@ -1246,6 +1307,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             w = jnp.take_along_axis(occ_row, bit >> 5,
                                                     axis=1)
                             row16 = (w >> ((cu_ & 1) << 4)) & 0xFFFF
+                            if sub_skip:
+                                # 4^3 sub-block occupancy: empty blocks
+                                # advance at granularity 4 on every axis
+                                sb = (((cv_ & 12) << 2) | (cu_ & 12)
+                                      | (ck_ >> 2))
+                                subw = jnp.take_along_axis(
+                                    sub_row, sub_base + (cv_ >> 3), axis=1)
+                                sub0 = ((subw >> (sb & 31)) & 1) == 0
                             # bits at-or-ahead of ck in the ray's direction
                             mpos = row16 & (jnp.int32(-1) << ck_)
                             mneg = row16 & ((jnp.int32(2) << ck_) - 1)
@@ -1262,8 +1331,16 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # next u/v column boundary (u skips its pair
                             # when the whole word is empty)
                             mu = jnp.where(w == 0, -2, -1)
+                            if sub_skip:
+                                mu = jnp.where(sub0, -4, mu)
+                                mv_ = jnp.where(sub0, -4, -1)
+                                mk_ = jnp.where(sub0, -4, -16)
+                                tgv = (cvr & mv_) + ((-mv_) & pv3)
+                                tgk = (ckr & mk_) + ((-mk_) & pk3)
+                                tk = (tgk.astype(jnp.float32) - fek) * rdk
+                            else:
+                                tgv = cvr + (1 & pv3)
                             tgu = (cur & mu) + ((-mu) & pu3)
-                            tgv = cvr + (1 & pv3)
                             tu = (tgu.astype(jnp.float32) - feu) * rdu
                             tv = (tgv.astype(jnp.float32) - fev) * rdv
                             t_uv = jnp.minimum(tu, tv)
@@ -1271,6 +1348,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             # ckc = -127, never a valid cell coord
                             hit_now = ckc == ck_
                             hit_ahead = found & ~hit_now & (t_cand < t_uv)
+                            if sub_skip:
+                                # a candidate past the empty block is only
+                                # reachable if the ray stays in the g=1
+                                # column — skip it now, rescan after the
+                                # block jump
+                                hit_ahead = hit_ahead & ~sub0
                             is_hit = live_b & (hit_now | hit_ahead)
                             bit_h = jnp.where(hit_now, bit,
                                               (cv_ << 8) | (cu_ << 4) | ckc)
@@ -1279,8 +1362,20 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                 is_hit, bit_h | (ax_h << ax_shift),
                                 st["h_bit"])
                             live = live_b & ~is_hit
-                            ft2 = jnp.maximum(t_uv, ft)
-                            ax2 = jnp.where(tu < tv, 1, 2)
+                            if sub_skip:
+                                # advance: min over the (masked) 3-axis
+                                # exits — k rides along (brick edge when
+                                # not block-skipping: harmless, the ray
+                                # dies at the k-face oob either way)
+                                adv = jnp.minimum(tk, t_uv)
+                                use_k2 = (tk < tu) & (tk < tv)
+                                use_u2 = ~use_k2 & (tu < tv)
+                                ax2 = jnp.where(use_k2, 0,
+                                                jnp.where(use_u2, 1, 2))
+                            else:
+                                adv = t_uv
+                                ax2 = jnp.where(tu < tv, 1, 2)
+                            ft2 = jnp.maximum(adv, ft)
                             out = dict(ft=ft2,
                                        la=(ax2 << 1) | live.astype(jnp.int32),
                                        h_bit=h_bit, stp=st["stp"])
@@ -2132,7 +2227,7 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "fetch_mat", "fine_unroll", "track_steps",
                      "interpret", "slice_depth", "traversal", "mat_rounds",
                      "brick", "mat_bsize", "matw_space", "mat16",
-                     "footprint"))
+                     "footprint", "sub_skip"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
@@ -2141,7 +2236,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       track_steps=True, interpret=False, slice_depth=1,
                       traversal="brick", mat_rounds=128, brick=BRICK,
                       mat_bsize=None, matw_space="vmem", mat16=False,
-                      footprint="corners"):
+                      footprint="corners", sub_skip=False):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128).
 
@@ -2164,7 +2259,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         fine_unroll=fine_unroll, track_steps=track_steps,
         slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
         brick=brick, mat_bsize=mat_bsize, matw_space=matw_space,
-        mat16=mat16, footprint=footprint)
+        mat16=mat16, footprint=footprint, sub_skip=sub_skip)
 
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -2186,7 +2281,8 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
             # the wsm slot doubles as the pack_sub4 table (VMEM, lane-
             # gathered) for the hierarchical march
             pl.BlockSpec(wsm.shape, fixed,
-                         memory_space=(pltpu.VMEM if traversal == "hier"
+                         memory_space=(pltpu.VMEM
+                                       if traversal == "hier" or sub_skip
                                        else pltpu.SMEM)),
             matw_spec,
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),  # pal
@@ -2263,6 +2359,12 @@ class MegaVolume:
             self.occw3 = pack_mega16_axes(self.volume.grid)
         return self.occw3
 
+    def ensure_sub_axes(self):
+        """Pack (and cache) the per-axis sub4 table for hier3 sub_skip."""
+        if getattr(self, "sub4x", None) is None:
+            self.sub4x = pack_sub4_axes(self.volume.grid)
+        return self.sub4x
+
     def brick32_kw(self):
         """kwargs for render_mega_tiles in 32^3 super-brick mode
         (pass `self.occ32, self.occw32` as the occ/occw tables)."""
@@ -2293,6 +2395,9 @@ class MegaVolume:
         if self.occw3 is not None:
             self.occw3 = set_voxel_occw3(self.occw3, self.bsize16,
                                          x, y, z, val)
+        if getattr(self, "sub4x", None) is not None:
+            self.sub4x = set_voxel_sub4_axes(self.sub4x, self.occw16,
+                                             self.bsize16, x, y, z, val)
         if self.occ32 is not None:
             self.occ32, self.occw32 = set_voxel_tables32(
                 self.occ32, self.occw32, self.bsize32, x, y, z, val)
