@@ -43,7 +43,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # the current (u,v) column or advances a column), in-brick mat16
 # material resolve, 128x136-px tiles.  v5e sweep at 128
 # frames/dispatch: brick16 incremental 743-757, hier (4^3 sub-block
-# skips) 776-811, hier3 868-889 Mrays/s; fine_unroll 4 > 3/6.  512
+# skips) 776-811, hier3 868-889 Mrays/s; fine_unroll 4 > 3/6.  1024
 # frames/dispatch amortizes the axon tunnel's ~50 ms dispatch round
 # trip to <0.1 ms/frame.
 TILE_ROWS = 136
@@ -98,9 +98,11 @@ def main():
         def body(s):
             i, c = s
             # the +c*1e-38 feeds the previous frame's output into this
-            # frame's camera: serializes frames, defeats cross-frame CSE
+            # frame's camera: serializes frames, defeats cross-frame CSE.
+            # i wraps so any n > FRAMES_PER_DISPATCH reuses cameras
+            # round-robin instead of silently re-timing the last one.
             cp = jax.lax.dynamic_index_in_dim(
-                cam_all, i, keepdims=False) + c * 1e-38
+                cam_all, i % FRAMES_PER_DISPATCH, keepdims=False) + c * 1e-38
             rgba = frame(cp)
             return i + 1, c + 1.0 + rgba[0, 0].astype(jnp.float32) * 1e-38
 

@@ -56,10 +56,22 @@ def main():
         vols.append(vol)
     scene = Scene(volumes=vols)
 
-    def intersect(o, d):
-        """Laser scene query via the native C++ oracle (fast host-side)."""
+    def intersect(o, d, medium=0):
+        """Laser scene query via the native C++ oracle (fast host-side).
+        Medium rays (glass interiors) use the Python oracle — the native
+        entry point has no medium flag."""
         best = (1e30, 0, np.zeros(3, np.float32))
         for v in vols:
+            if medium:
+                hh = oracle.intersect_volume(oracle.OracleVolume(
+                    grid=v.grid, vpu=v.vpu, pos=v.pos, rot=v.rot), o, d,
+                    medium=medium)
+                # slab-missing volumes report (t=0, air) in medium mode
+                # (vv.cpp:228-232) — the BVH AABB pretest analog drops them
+                if not (hh.depth <= 0.0 and hh.material == 0) \
+                        and hh.depth < best[0]:
+                    best = (hh.depth, hh.material, hh.normal)
+                continue
             o_l = v.rot.T @ (np.asarray(o, np.float32) - v.pos) + v.pivot
             d_l = v.rot.T @ np.asarray(d, np.float32)
             if oracle_native.available():

@@ -73,9 +73,25 @@ class TestGame:
         ovols = [oracle.OracleVolume(grid=v.grid, vpu=v.vpu, pos=v.pos,
                                      rot=v.rot) for v in scene_vols]
 
-        def fn(o, d):
-            h = oracle.intersect_scene(ovols, o, d)
-            return h.depth, h.material, h.normal
+        def fn(o, d, medium=0):
+            if not medium:
+                h = oracle.intersect_scene(ovols, o, d)
+                return h.depth, h.material, h.normal
+            # medium ray: per-volume query with an AABB-pretest analog —
+            # the reference's BVH leaf pretest (bvh.cpp:229-233) keeps a
+            # slab-missing volume's (t=0, air) medium result out of the
+            # min-combine (vv.cpp:228-232)
+            best = None
+            for v in ovols:
+                h = oracle.intersect_volume(v, o, d, medium=medium)
+                if h.depth <= 0.0 and h.material == 0:
+                    continue
+                if best is None or h.depth < best.depth:
+                    best = h
+            if best is None:
+                best = oracle.intersect_volume(ovols[0], o, d,
+                                               medium=medium)
+            return best.depth, best.material, best.normal
         return fn
 
     def test_state_machine_and_score(self):
@@ -103,6 +119,46 @@ class TestGame:
         assert (vol.grid != 0).sum() == solid_before - 1
         assert len(game.laser_path) >= 2
         assert game.hud_lines()
+
+    def test_laser_medium_march_through_glass(self):
+        """next_path_ray glass semantics (materials.cpp:50-69): the beam
+        enters the glass box (vertex on the front face), continues as the
+        SAME ray with the medium id set, and the interior march lands on
+        the diffuse core inside — not on a front-face pass-through."""
+        n = 16
+        g = np.full((n, n, n), 3, np.uint8)      # glass row (ids 1-8)
+        g[6:10, 6:10, 6:10] = 30                 # diffuse core
+        vol = VoxelVolume(g, pos=(0, 0, -4), vpu=20.0)
+        scene = Scene(volumes=[vol])
+        game = Game(scene, [], intersect_fn=self._intersect([vol]),
+                    aspect=1.0)
+        game.start()
+        game.tick(1 / 60, Input(fire=True))
+        # [player origin, glass front face, diffuse core] — exactly 3:
+        # the medium march consumes the glass in ONE segment
+        assert len(game.laser_path) == 3, game.laser_path
+        entry, inner = game.laser_path[1], game.laser_path[2]
+        assert abs(entry[2] - (-3.6)) < 0.02, entry   # front face z
+        assert -4.12 < inner[2] < -3.88, inner        # core surface z
+        assert abs(inner[0]) < 0.11 and abs(inner[1]) < 0.11
+
+    def test_laser_exits_pure_glass_into_air(self):
+        """A solid glass box with nothing inside: the interior march exits
+        at the back face with material air, which falls through
+        next_path_ray's default case — the path terminates there
+        (vv.cpp:206-232 exit semantics)."""
+        n = 16
+        g = np.full((n, n, n), 3, np.uint8)
+        vol = VoxelVolume(g, pos=(0, 0, -4), vpu=20.0)
+        scene = Scene(volumes=[vol])
+        game = Game(scene, [], intersect_fn=self._intersect([vol]),
+                    aspect=1.0)
+        game.start()
+        game.tick(1 / 60, Input(fire=True))
+        assert len(game.laser_path) == 3, game.laser_path
+        entry, exit_p = game.laser_path[1], game.laser_path[2]
+        assert abs(entry[2] - (-3.6)) < 0.02, entry   # front face
+        assert abs(exit_p[2] - (-4.4)) < 0.02, exit_p  # back face
 
     def test_game_over_when_caught(self):
         rng = np.random.RandomState(2)

@@ -7,9 +7,11 @@ renderer; this module owns only simulation state and dynamic scene edits —
 the per-frame flow mirrors SURVEY.md §3.2.
 
 The laser path follows next_path_ray semantics (materials.cpp:50-69):
-mirror rows reflect, glass rows pass the beam through (the reference
-refracts into the medium; the headless sim approximates with pass-through),
-diffuse terminates.
+mirror rows reflect, glass rows continue the SAME ray with the medium id
+set (the medium-aware interior march then finds the first differing voxel
+or the exit into air, vv.cpp:166-232), diffuse terminates.  An exit into
+air (material 0) falls through next_path_ray's default case and ends the
+path at the glass back face, exactly as the reference does.
 """
 
 from __future__ import annotations
@@ -42,9 +44,13 @@ class Game:
 
     def __init__(self, scene: Scene, enemies: list[Enemy],
                  intersect_fn=None, aspect: float = 16.0 / 9.0):
-        """intersect_fn(origin (3,), dir (3,)) -> (t, mat, normal) queries
-        the current scene; supplied by the app layer (jitted TPU trace or
-        the CPU oracle)."""
+        """intersect_fn(origin (3,), dir (3,), medium=0) -> (t, mat,
+        normal) queries the current scene; supplied by the app layer
+        (jitted TPU trace or the CPU oracle).  ``medium`` requests the
+        interior exit march for rays travelling inside a glass material
+        (Ray::medium_id, vv.cpp:166-232); providers without medium
+        support may ignore the kwarg (the laser then degrades to
+        pass-through)."""
         self.scene = scene
         self.enemies = enemies
         self.player = Player()
@@ -92,23 +98,29 @@ class Game:
         rot = _yaw_pitch(self.player.yaw, self.player.pitch)
         origin = self.player.pos.astype(np.float32)
         direction = rot @ np.array([0, 0, -1.0], np.float32)
+        medium = 0
         self.laser_path = [origin.copy()]
 
         for _ in range(self.MAX_SEGMENTS):
-            t, mat, normal = self.intersect_fn(origin, direction)
+            try:
+                t, mat, normal = self.intersect_fn(
+                    origin, direction, medium=medium)
+            except TypeError:     # legacy provider without medium support
+                t, mat, normal = self.intersect_fn(origin, direction)
             if t >= BIG_F32 * 0.99:
                 self.laser_path.append(origin + direction * 1000.0)
                 break
             hit_point = origin + direction * t + normal * 1e-4
             self.laser_path.append(hit_point)
             row = _material_row(int(mat))
-            if row == 1:      # mirror: reflect and continue
+            if row == 1:      # mirror: reflect and continue (fresh ray
                 direction = direction - 2.0 * (direction @ normal) * normal
                 origin = hit_point
+                medium = 0    # -> medium resets, materials.cpp:63-65)
                 continue
-            if row == 0:      # glass: pass through (see module docstring)
-                origin = hit_point - normal * 2e-4
-                continue
+            if row == 0:      # glass: continue the SAME ray inside the
+                medium = int(mat)   # medium (materials.cpp:60-62); the
+                continue            # next hit is the interior exit
             # diffuse: damage whichever enemy owns the hit voxel
             for e in self.enemies:
                 vx, vy, vz = e.model.to_grid(hit_point - normal * 0.001)

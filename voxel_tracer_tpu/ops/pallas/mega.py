@@ -653,6 +653,9 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
             "hier3 traversal requires brick=16, slice_depth in (1, 2)"
     assert not sub_skip or traversal == "hier3", \
         "sub_skip (pack_sub4_axes block skipping) is a hier3 option"
+    assert not (sub_skip and matw_space == "compact"), \
+        "sub_skip and matw_space='compact' both claim the wsm operand " \
+        "(pack_sub4_axes table vs brick->slot remap)"
     assert brick != 32 or traversal == "brick", \
         "brick=32 supports the 'brick' traversal only"
     # h_bit packs the in-brick voxel bit plus the entry axis; the axis
@@ -2321,6 +2324,7 @@ class MegaVolume:
         self.matw16 = pack_mat16(volume.grid)
         self.sub4 = pack_sub4(volume.grid)
         self.occw3 = None          # per-axis tables packed on first use
+        self.sub4x = None          # per-axis sub4 tables packed on first use
         self.occ32 = None          # 32^3 tables packed on first use
         self.pal = pack_palette(volume.palette)
         self.rot = jnp.asarray(volume.rot, jnp.float32)
@@ -2340,6 +2344,8 @@ class MegaVolume:
         self.sub4 = pack_sub4(self.volume.grid)
         if self.occw3 is not None:
             self.occw3 = pack_mega16_axes(self.volume.grid)
+        if getattr(self, "sub4x", None) is not None:
+            self.sub4x = pack_sub4_axes(self.volume.grid)
         if self.occ32 is not None:
             self.occ32, self.occw32, self.bsize32 = pack_mega32(
                 self.volume.grid)
@@ -2549,7 +2555,11 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
             *([block] * 6),
             pl.BlockSpec(occ.shape, fixed, memory_space=pltpu.SMEM),
             pl.BlockSpec(occw.shape, fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec(wsm.shape, fixed, memory_space=pltpu.SMEM),
+            # 'hier' lane-gathers the pack_sub4 table through wsm: VMEM
+            # (mirrors render_mega_tiles' conditional spec)
+            pl.BlockSpec(wsm.shape, fixed,
+                         memory_space=(pltpu.VMEM if traversal == "hier"
+                                       else pltpu.SMEM)),
             matw_spec,
             pl.BlockSpec((8, 128), fixed, memory_space=pltpu.VMEM),
         ],

@@ -29,7 +29,7 @@ def hit_point(origins, dirs, t, normal):
 
 
 def sun_light(scene: SceneData, p, n, jitter3=None, max_candidates=4,
-              shadow_seed=None):
+              shadow_seed=None, isect=composite):
     """Sun contribution with shadow ray (materials.cpp:226-244).  With
     ``shadow_seed`` the shadow ray uses stochastic glass/mirror
     pass-through (vv.cpp:314-327)."""
@@ -41,7 +41,7 @@ def sun_light(scene: SceneData, p, n, jitter3=None, max_candidates=4,
         sun_dir = jnp.broadcast_to(sun_dir, p.shape)
     incidence = dot(n, sun_dir)
     lit = incidence > 0.0
-    occluded, shadow_hit = composite.is_occluded(
+    occluded, shadow_hit = isect.is_occluded(
         scene, p, sun_dir, BIG_F32, max_candidates, shadow_seed=shadow_seed)
     vis = lit & ~occluded
     return jnp.where(vis[:, None], scene.sun_light * incidence[:, None], 0.0)
@@ -71,12 +71,12 @@ def cos_diffuse_reflect(n, r1, r2):
 
 
 def ambient_light(scene: SceneData, p, n, r2pair, max_candidates=4,
-                  shadow_seed=None):
+                  shadow_seed=None, isect=composite):
     """Ambient sky term: cosine-weighted ray, occlusion within 1 unit,
     sky sample / pdf, clamped (materials.cpp:249-269)."""
     amb_dir = cos_diffuse_reflect(n, r2pair[..., 0], r2pair[..., 1])
-    occluded, _ = composite.is_occluded(scene, p, amb_dir, 1.0, max_candidates,
-                                        shadow_seed=shadow_seed)
+    occluded, _ = isect.is_occluded(scene, p, amb_dir, 1.0, max_candidates,
+                                    shadow_seed=shadow_seed)
     pdf = jnp.maximum(dot(amb_dir, n) * INVPI, 1e-6)
     sky = sample_sky(scene.sky, amb_dir) * 0.25
     contrib = clamp_color(sky / pdf[:, None], 8.0)
@@ -84,7 +84,7 @@ def ambient_light(scene: SceneData, p, n, r2pair, max_candidates=4,
 
 
 def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
-                  shadow_seed=None):
+                  shadow_seed=None, isect=composite):
     """Monte-Carlo spherical area lights (sphere-light.cpp:8-37)."""
     lights = scene.lights
     num = lights.origin.shape[0]
@@ -101,8 +101,10 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
         sdir = ext / dist[:, None]
         incidence = dot(n, sdir)
         facing = incidence > 0.0
-        occluded, _ = composite.is_occluded(
-            scene, sample_point[None, :] * jnp.ones_like(p), -sdir,
+        # shadow ray from the sampled light point back toward the surface
+        # (sphere-light.cpp:20-24); sample_point is already per-ray (N, 3)
+        occluded, _ = isect.is_occluded(
+            scene, sample_point, -sdir,
             dist - 0.01, max_candidates, shadow_seed=shadow_seed)
         pdf = FOURPI * diameter
         intensity = lights.power[li] / (FOURPI * jnp.maximum(dist_sqr, 1e-12))
@@ -112,27 +114,30 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
     return total
 
 
-def diffuse_irradiance(scene, p, n, noise3, noise2, config, shadow_seed=None):
+def diffuse_irradiance(scene, p, n, noise3, noise2, config, shadow_seed=None,
+                       isect=composite):
     """Sphere lights + sun + ambient (materials.cpp:194-221)."""
     irr = jnp.zeros_like(p)
     salt = None if shadow_seed is None else shadow_seed
     if scene.lights.origin.shape[0] > 0:
         irr = irr + sphere_lights(scene, p, n, noise3, config.max_candidates,
-                                  shadow_seed=salt)
+                                  shadow_seed=salt, isect=isect)
     irr = irr + sun_light(scene, p, n, noise3, config.max_candidates,
                           shadow_seed=None if salt is None
-                          else salt ^ jnp.uint32(0xA511E9B3))
+                          else salt ^ jnp.uint32(0xA511E9B3), isect=isect)
     irr = irr + ambient_light(scene, p, n, noise2, config.max_candidates,
                               shadow_seed=None if salt is None
-                              else salt ^ jnp.uint32(0x63D83595))
+                              else salt ^ jnp.uint32(0x63D83595), isect=isect)
     return irr
 
 
-def lambert_irradiance(scene: SceneData, origins, dirs, hit, config):
+def lambert_irradiance(scene: SceneData, origins, dirs, hit, config,
+                       isect=composite):
     """Deterministic Lambertian shading: sun + shadow ray + flat ambient.
     (config-2 benchmark shading; a simplification of diffuse_light)."""
     p = hit_point(origins, dirs, hit.t, hit.normal)
-    sun = sun_light(scene, p, hit.normal, None, config.max_candidates)
+    sun = sun_light(scene, p, hit.normal, None, config.max_candidates,
+                    isect=isect)
     return sun + config.ambient
 
 
@@ -167,7 +172,8 @@ def material_row(mat):
     return jnp.floor((mat.astype(jnp.float32) - 1.0) / 8.0).astype(jnp.int32)
 
 
-def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config):
+def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config,
+                         isect=composite):
     """Glass evaluation: bounded internal-reflection loop with Beer
     absorption and Fresnel splits (materials.cpp:119-189 semantics).
 
@@ -209,7 +215,7 @@ def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config):
     irr_acc = jnp.zeros((n, 3), jnp.float32)
 
     for i in range(config.glass_reflections):
-        i_hit = composite.march_interior(
+        i_hit = isect.march_interior(
             scene, cur_hit.obj, i_o, i_d, g_medium, config.max_steps)
         exit_p = i_o + i_d * i_hit.t[:, None]
         absorb_t = absorb_t + jnp.where(g_live, i_hit.t, 0.0)
@@ -229,7 +235,7 @@ def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config):
 
         if i > 0:
             later = g_live & do_refract & ~first
-            s_hit = composite.intersect_scene(
+            s_hit = isect.intersect_scene(
                 scene, scan_o, scan_d, config.max_candidates,
                 config.max_steps, ignore=g_medium)
             s_miss = s_hit.t >= BIG_F32
@@ -257,7 +263,8 @@ def eval_glass_wavefront(scene, cur_o, cur_d, cur_hit, is_glass, config):
     return cont_o, cont_d, cont_w, emitted, alb_acc, irr_acc
 
 
-def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
+def shade_full(scene: SceneData, origins, dirs, hit, frame, config,
+               isect=composite):
     """Full Whitted-style wavefront shading (materials.cpp:15-48 analog).
 
     The recursive mirror/glass evaluation is restructured as a bounded loop:
@@ -302,7 +309,7 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
         bounce_seed = ray_seed ^ jnp.uint32((0x85EBCA77 * (bounce + 1))
                                             & 0xFFFFFFFF)
         irr = diffuse_irradiance(scene, p, cur_hit.normal, noise3, noise2,
-                                 config, shadow_seed=bounce_seed)
+                                 config, shadow_seed=bounce_seed, isect=isect)
         albedo_out = albedo_out + jnp.where(
             is_diffuse[:, None], thr_a * cur_hit.albedo, 0.0)
         irr_out = irr_out + jnp.where(is_diffuse[:, None], thr_i * irr, 0.0)
@@ -326,7 +333,8 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
             ghit = composite.HitResult(
                 t=h_t, mat=h_mat, normal=h_normal, albedo=h_albedo,
                 steps=jnp.zeros_like(h_mat), obj=h_obj)
-            return eval_glass_wavefront(scene, o, d, ghit, g_mask, config)
+            return eval_glass_wavefront(scene, o, d, ghit, g_mask, config,
+                                        isect=isect)
 
         def _no_glass(args):
             o, d, h_t, h_normal, h_mat, h_albedo, h_obj, g_mask = args
@@ -355,7 +363,7 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config):
         # scan rays ignore their own medium until they see air
         ign = jnp.where(is_glass, cur_hit.mat, 0)
         cur_o, cur_d = next_o, next_d
-        cur_hit = composite.intersect_scene(
+        cur_hit = isect.intersect_scene(
             scene, cur_o, cur_d, config.max_candidates, config.max_steps,
             ignore=ign)
         sky = sample_sky(scene.sky, cur_d)

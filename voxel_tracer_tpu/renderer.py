@@ -109,13 +109,23 @@ def _render_impl(scene: SceneData, camera: Camera, frame, prev_accu=None,
 
 def render_rays(scene: SceneData, origins, dirs, frame, *,
                 config: RenderConfig, prev_accu=None, prev_planes=None,
-                depth_delta=0.0):
+                depth_delta=0.0, isect=composite, primary_hit=None):
     """Render a pre-generated ray wavefront (ray-gen split out so callers —
-    e.g. parallel/sharding.py — can place sharding constraints on the rays)."""
+    e.g. parallel/sharding.py — can place sharding constraints on the rays).
+
+    ``isect`` swaps the traversal backend: any module/object with
+    composite-compatible `intersect_scene` / `march_interior` /
+    `is_occluded` (e.g. `ops.pallas.whitted.MegaIntersector` for the
+    kernel-backed fast path).  ``primary_hit`` supplies a precomputed
+    primary HitResult (e.g. from the fused camera megakernel) so the
+    wavefront intersect is skipped."""
     w, h = config.width, config.height
 
-    hit = composite.intersect_scene(
-        scene, origins, dirs, config.max_candidates, config.max_steps)
+    if primary_hit is None:
+        hit = isect.intersect_scene(
+            scene, origins, dirs, config.max_candidates, config.max_steps)
+    else:
+        hit = primary_hit
     missed = hit.t >= BIG_F32
 
     sky = sample_sky(scene.sky, dirs)
@@ -125,11 +135,12 @@ def render_rays(scene: SceneData, origins, dirs, frame, *,
         irradiance = jnp.ones_like(albedo)
     elif config.shading == "lambert":
         from voxel_tracer_tpu.ops.shading import lambert_irradiance
-        irradiance = lambert_irradiance(scene, origins, dirs, hit, config)
+        irradiance = lambert_irradiance(scene, origins, dirs, hit, config,
+                                        isect=isect)
     else:
         from voxel_tracer_tpu.ops.shading import shade_full
         albedo, irradiance = shade_full(
-            scene, origins, dirs, hit, frame, config)
+            scene, origins, dirs, hit, frame, config, isect=isect)
         albedo = jnp.where(missed[:, None], sky, albedo)
 
     irradiance = jnp.where(missed[:, None], 1.0, jnp.maximum(irradiance, 0.0))
