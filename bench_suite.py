@@ -258,6 +258,87 @@ def bench_multiobj_shadow():
             "frames_per_s": round(1.0 / dt, 2)}
 
 
+def bench_full_whitted():
+    """Full material system (mirror/glass/sphere light/sun/ambient) at
+    720p on the kernel backend: the reference's default frame
+    (renderer.cpp:199-223 -> materials.cpp:15-48) — glass test box + 4
+    enemy drones (scene.cpp:5-31) — with every traversal through the
+    megakernel (ops/pallas/whitted.py).
+
+    `value` counts PRIMARY rays/s (fps x W x H); `traced_rays_per_s`
+    counts every kernel-traced ray across all shading passes (bounces,
+    shadows, interior marches) — the honest throughput accounting."""
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.models.camera import Camera
+    from voxel_tracer_tpu.models.scene import Scene
+    from voxel_tracer_tpu.models.skydome import SkyDome
+    from voxel_tracer_tpu.models.volume import VoxelVolume
+    from voxel_tracer_tpu.ops.pallas import mega
+    from voxel_tracer_tpu.ops.pallas.renderer_fast import bake_aligned_scene
+    from voxel_tracer_tpu.ops.pallas.whitted import (
+        MegaIntersector, render_whitted_mega)
+    from voxel_tracer_tpu.renderer import RenderConfig
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    W, H = 1280, 768   # 720p-class, tile multiple
+    FRAMES = 16
+    BOUNCES, GLASS_REFL, SHADOW_ROUNDS = 3, 2, 2
+    box = VoxelVolume.from_vox(
+        "/root/reference/assets/vox/testing/glass-box.vox")
+    # none of the reference's shipped .vox assets carries a row-0 id
+    # (1..8) — glass is reachable in its code but not its data.  Remap
+    # the box's id-16 pane to glass and its id-62 plate to mirror so the
+    # bench exercises eval_glass + eval_mirror on reference geometry.
+    box.grid[box.grid == 16] = 4
+    box.grid[box.grid == 62] = 12
+    vols = [box]
+    for i in range(4):
+        vols.append(VoxelVolume.from_vox(
+            "/root/reference/assets/vox/enemy-drone.vox",
+            pos=(float(i), 2.0, 0.0)))
+    merged = bake_aligned_scene(vols)
+    scene = Scene(volumes=[merged], skydome=SkyDome.procedural(64, 32))
+    scene.add_light((2.0, 3.5, -1.5), 0.15, (1.0, 0.9, 0.8), 40.0)
+    sd = scene.data()
+    mv = mega.MegaVolume(merged)
+    isect = MegaIntersector(mv, tile_rows=128, fine_iters=48,
+                            fine_unroll=4, shadow_rounds=SHADOW_ROUNDS)
+    config = RenderConfig(width=W, height=H, shading="full",
+                          max_bounces=BOUNCES, glass_reflections=GLASS_REFL)
+    c0 = np.asarray(merged.pos) + np.asarray(merged.size) * 0.5
+
+    # kernel trace launches per frame (each over the full W*H list):
+    # 1 primary (camera mode) + per bounce before the last: continuation
+    # (1 + 2 per glass id) + sun/ambient shadows (2 * SHADOW_ROUNDS) +
+    # sphere light (SHADOW_ROUNDS); glass sub-loop: GLASS_REFL interior
+    # marches per glass id + (GLASS_REFL - 1) scan evals (3 traces each).
+    n_glass = len(isect.glass_ids)
+    per_bounce = (1 + 2 * n_glass) + 3 * SHADOW_ROUNDS
+    glass_sub = GLASS_REFL * n_glass + (GLASS_REFL - 1) * (1 + 2 * n_glass)
+    launches = 1 + BOUNCES * 3 * SHADOW_ROUNDS \
+        + (BOUNCES - 1) * ((1 + 2 * n_glass) + glass_sub)
+
+    def frame(theta):
+        px = c0[0] + 3.2 * jnp.cos(theta * 10.0)
+        pz = c0[2] + 3.2 * jnp.sin(theta * 10.0)
+        cam = Camera.create(
+            jnp.stack([px, jnp.full_like(px, c0[1] + 1.2), pz]),
+            jnp.asarray(c0), W / H)
+        out = render_whitted_mega(isect, sd, cam, W, H, jnp.int32(0),
+                                  config=config, tile_rows=8, tile_w=32)
+        return out["image"][0, 0, 0] * 1e-38
+
+    dt = _timeit(_frame_loop(frame, FRAMES), _force_sync, rounds=2) / FRAMES
+    return {"metric": "full_whitted_720p",
+            "value": round(W * H / dt), "unit": "primary_rays/s",
+            "frames_per_s": round(1.0 / dt, 2),
+            "traced_rays_per_s": round(launches * W * H / dt),
+            "kernel_launches_per_frame": launches,
+            "config": {"bounces": BOUNCES, "glass_reflections": GLASS_REFL,
+                       "shadow_rounds": SHADOW_ROUNDS,
+                       "glass_ids": isect.glass_ids}}
+
+
 def bench_inverse_128():
     import jax, jax.numpy as jnp
     import optax
@@ -322,7 +403,8 @@ def bench_inverse_128():
 def main():
     results = []
     for fn in (bench_flat_256, bench_diff_lambert_512, bench_vox_brickmap,
-               bench_multiobj_shadow, bench_inverse_128):
+               bench_multiobj_shadow, bench_full_whitted,
+               bench_inverse_128):
         try:
             r = fn()
         except Exception as e:  # report, keep going
