@@ -114,6 +114,36 @@ def test_grid_sharded_train_matches_replicated():
     assert len(shard_shapes) >= 4, "sigma not sharded over GRID"
 
 
+def test_overlap_slabs_train_matches_plain():
+    """make_train_step(overlap_slabs=4) — per-slab grad pmean inside the
+    backward — must train identically to the single end-of-step pmean."""
+    sigma_t, albedo_t, o, d = _problem()
+    vpu, max_steps = 64.0, 256
+    target = diff.render_density(sigma_t, albedo_t, o, d, vpu,
+                                 max_steps)["color"]
+    g3 = sigma_t.shape[0]
+    init = {"sigma": jnp.full((g3,) * 3, 3.0),
+            "albedo": jnp.full((g3,) * 3 + (3,), 0.5)}
+    mesh = make_ray_mesh(8)
+    opt = optax.adam(5e-2)
+    ray_sh = NamedSharding(mesh, P(RAYS))
+    rep = NamedSharding(mesh, P())
+    o_s, d_s, t_s = (jax.device_put(x, ray_sh) for x in (o, d, target))
+
+    losses = {}
+    for slabs in (1, 4):
+        step = make_train_step(mesh, opt, vpu, max_steps=max_steps,
+                               overlap_slabs=slabs)
+        p = jax.device_put(init, rep)
+        st = jax.device_put(opt.init(init), rep)
+        ls = []
+        for _ in range(3):
+            p, st, l = step(p, st, o_s, d_s, t_s)
+            ls.append(float(l))
+        losses[slabs] = ls
+    np.testing.assert_allclose(losses[4], losses[1], rtol=2e-4)
+
+
 def test_oversized_grid_fits_sharded():
     """Fit a grid whose parameter bytes exceed a stated per-device budget
     of 8 MB: 96^3 sigma+albedo is 14.2 MB replicated, 3.5 MB per device

@@ -92,6 +92,67 @@ def test_full_material_parity(setup):
     assert {0, 1} <= rows, f"glass+mirror not both visible: {rows}"
 
 
+def test_whitted_accumulate_reduces_variance(setup):
+    """Reprojection on the kernel path (renderer.cpp:273-329): a static
+    camera accumulating stochastic-shadow irradiance over frames must be
+    steadier frame-to-frame than the raw single-frame output."""
+    from voxel_tracer_tpu.ops.math3d import BIG_F32
+    from voxel_tracer_tpu.renderer import RenderConfig
+
+    sd, cam, config, isect = setup
+    acc_cfg = RenderConfig(width=W, height=H, shading="full",
+                           max_bounces=3, glass_reflections=2,
+                           accumulate=True)
+    accu = jnp.concatenate(
+        [jnp.zeros((H, W, 3), jnp.float32),
+         jnp.full((H, W, 1), BIG_F32, jnp.float32)], axis=-1)
+    raw, acc = [], []
+    for f in range(5):
+        out = render_whitted_mega(isect, sd, cam, W, H, jnp.int32(f),
+                                  config=acc_cfg, prev_accu=accu,
+                                  prev_planes=cam.planes)
+        accu = out["accu"]
+        acc.append(np.asarray(out["irradiance"]))
+        raw_out = render_whitted_mega(isect, sd, cam, W, H, jnp.int32(f),
+                                      config=config)
+        raw.append(np.asarray(raw_out["irradiance"]))
+    # frame-to-frame fluctuation of the last two frames
+    d_acc = np.abs(acc[-1] - acc[-2]).mean()
+    d_raw = np.abs(raw[-1] - raw[-2]).mean()
+    assert d_acc < d_raw * 0.5, (d_acc, d_raw)
+
+
+def test_lambert_mega_accumulate_fixed_point():
+    """Deterministic lambert frames are identical, so blending 95%
+    history must be a fixed point: accumulated irradiance == raw
+    irradiance on reprojected pixels (wiring check for the fast path)."""
+    from voxel_tracer_tpu.models.volume import VoxelVolume
+    from voxel_tracer_tpu.ops.math3d import BIG_F32
+
+    n = 16
+    g = np.zeros((n, n, n), np.uint8)
+    g[4:12, 4:12, 4:12] = 30
+    vol = VoxelVolume(g, pos=(0, 0, 0), vpu=20.0)
+    mv = mega.MegaVolume(vol)
+    w, h = 64, 32
+    cam = Camera.create((1.2, 0.9, -1.4), (0, 0, 0), w / h)
+    base = mega.render_lambert_mega(mv, cam, w, h, interpret=True)
+    accu = jnp.concatenate(
+        [jnp.zeros((h, w, 3), jnp.float32),
+         jnp.full((h, w, 1), BIG_F32, jnp.float32)], axis=-1)
+    out = None
+    for _ in range(3):
+        out = mega.render_lambert_mega(
+            mv, cam, w, h, interpret=True, prev_accu=accu,
+            prev_planes=cam.planes)
+        accu = out["accu"]
+    hit = np.asarray(base["depth"]) < 1e30
+    np.testing.assert_allclose(
+        np.asarray(out["irradiance"])[hit], np.asarray(
+            base["irradiance"])[hit], rtol=1e-4, atol=1e-4)
+    assert "accu" in out
+
+
 def test_glass_sees_pillar_through_wall(setup):
     """The diffuse pillar inside the glass box must be visible through
     the wall on the kernel path (medium march + scan continuation)."""

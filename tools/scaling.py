@@ -110,6 +110,28 @@ def worker(n_dev: int):
     jax.block_until_ready(l2)
     dt_nosync = (time.perf_counter() - t0) / 3
 
+    # overlapped variant: per-slab grad pmean issued inside the backward
+    # (make_train_step(overlap_slabs=8)) vs the same compute without sync
+    def time_step(st_fn):
+        p3, s3, l3 = st_fn(params, opt_state, o_l, d_l, target)
+        jax.block_until_ready(l3)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            p3, s3, l3 = st_fn(params, opt_state, o_l, d_l, target)
+        jax.block_until_ready(l3)
+        return (time.perf_counter() - t0) / 3
+
+    # slab_max_steps: this harness's ray batch is z-dominant (a ray
+    # crosses ~1.15 cells per z layer), so a slab's in-slab visit count
+    # is ~10 of its 8 layers; 16 keeps the slab decomposition's total
+    # march work equal to the plain step's 128
+    dt_ov = time_step(sharding.make_train_step(
+        mesh, opt, 20.0, MAX_STEPS, overlap_slabs=8,
+        slab_max_steps=MAX_STEPS // 8))
+    dt_ov_ns = time_step(sharding.make_train_step(
+        mesh, opt, 20.0, MAX_STEPS, overlap_slabs=8,
+        slab_max_steps=MAX_STEPS // 8, sync_grads=False))
+
     print(json.dumps({
         "n_devices": n_dev,
         "trace_rays_per_s": round(TRACE_RAYS / dt_trace),
@@ -117,6 +139,9 @@ def worker(n_dev: int):
         "train_bwd_rays_per_s": round(TRAIN_RAYS / dt_train),
         "collective_efficiency_pct": round(100.0 * dt_nosync / dt_train,
                                            1),
+        "train_overlap_steps_per_s": round(1.0 / dt_ov, 3),
+        "collective_efficiency_overlap_pct": round(
+            100.0 * dt_ov_ns / dt_ov, 1),
     }))
 
 

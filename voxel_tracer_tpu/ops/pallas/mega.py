@@ -2590,14 +2590,16 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                      "tile_w", "ambient", "fine_unroll", "interpret",
                      "shadow_tile_rows", "track_steps", "real_width",
                      "real_height", "brick", "mat_bsize", "matw_space",
-                     "fine_iters", "mat16", "traversal"))
+                     "fine_iters", "mat16", "traversal", "accumulate"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
                          interpret, shadow_tile_rows, track_steps,
                          real_width=None, real_height=None, brick=BRICK,
                          mat_bsize=None, matw_space="vmem", fine_iters=24,
-                         mat16=False, traversal="brick"):
+                         mat16=False, traversal="brick", accumulate=False,
+                         prev_accu=None, prev_planes=None,
+                         depth_delta=0.0):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -2661,13 +2663,26 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
     irr = jnp.where(lit[:, None], sun_light * incidence[:, None], 0.0) \
         + ambient
 
+    out = {}
+    if accumulate:
+        # temporal reprojection of the irradiance term on the kernel
+        # path (renderer.cpp:273-329 runs this on the hot path): hit
+        # points come straight from the kernel's t output
+        from voxel_tracer_tpu.ops.reproject import reproject_accumulate
+        hit_points = origins + dirs * jnp.minimum(t, BIG)[:, None]
+        irr, new_accu = reproject_accumulate(
+            irr, jnp.where(hit, t, BIG), hit_points, prev_accu,
+            prev_planes, width, height, depth_delta=depth_delta,
+            reproject_mask=hit)
+        out["accu"] = new_accu
+
     sun_n = sun_dir / jnp.linalg.norm(sun_dir)
     sky = jnp.stack(_analytic_sky(
         tuple(dirs[:, i] for i in range(3)), tuple(sun_n)), axis=-1)
     color = jnp.where(hit[:, None], alb * irr, sky)
     img = jnp.clip(_aces(color) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     steps = (aux >> AUX_STEPS_SHIFT) & 0x7ffff
-    return dict(
+    out.update(
         image=img.reshape(height, width, 3),
         albedo=alb.reshape(height, width, 3),
         irradiance=irr.reshape(height, width, 3),
@@ -2676,6 +2691,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         steps=(steps + sh["steps"][:n]).reshape(height, width),
         material=(aux & 255).reshape(height, width),
     )
+    return out
 
 
 def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
@@ -2683,7 +2699,8 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
                         tile_rows=8, tile_w=32, fine_unroll=4,
                         interpret=False, shadow_tile_rows=8,
                         track_steps=True, use_brick16=False,
-                        use_hier3=False):
+                        use_hier3=False, prev_accu=None, prev_planes=None,
+                        depth_delta=0.0):
     """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
     ray-list shadow pass + gather-free XLA shading/tonemap.
 
@@ -2693,6 +2710,12 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     use_brick16: 16^3 super-brick traversal.  When the material table
     outgrows VMEM (giant merged scenes, e.g. the 512-crate profiling grid)
     it automatically stays in HBM with per-brick DMA in the material vote.
+
+    prev_accu (H, W, 4) + prev_planes (4, 4): temporal reprojection on
+    the kernel path — blends 95% irradiance history with depth rejection
+    and returns the new accumulator as out["accu"] (pass
+    ``camera.planes`` of THIS frame as next frame's prev_planes).
+    Requires width/height to be tile multiples (the accu grid is unpadded).
     """
     from voxel_tracer_tpu.models.scene import SUN_DIR, SUN_LIGHT
 
@@ -2724,13 +2747,18 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     else:
         kw = dict(occ=tb.occ, occw=tb.occw, wsm=dummy_wsm, bsize=tb.bsize,
                   matw=tb.matw)
+    accumulate = prev_accu is not None
+    assert not (accumulate and (wp, hp) != (width, height)), \
+        "accumulate requires tile-multiple width/height"
     out = _render_lambert_mega(
         cam_p, mv.rot, mv.pos, mv.pivot, sd, sl, pal=mv.pal,
         camera=camera, vpu=tb.vpu, width=wp,
         height=hp, tile_rows=tile_rows, tile_w=tile_w, ambient=ambient,
         fine_unroll=fine_unroll, interpret=interpret,
         shadow_tile_rows=shadow_tile_rows, track_steps=track_steps,
-        real_width=width, real_height=height, **kw)
+        real_width=width, real_height=height, accumulate=accumulate,
+        prev_accu=prev_accu, prev_planes=prev_planes,
+        depth_delta=jnp.float32(depth_delta), **kw)
     if (wp, hp) != (width, height):
         out = {kk: vv[:height, :width] for kk, vv in out.items()}
     return out
