@@ -82,17 +82,33 @@ class SkyDome:
 
 def sample_sky(sky: SkyDomeData, dirs: jnp.ndarray) -> jnp.ndarray:
     """Batched dir -> color lookup (skydome.h:34-41 semantics: atan2/acos
-    spherical mapping with a flat safety clamp)."""
+    spherical mapping with a flat safety clamp), bilinear-filtered with
+    longitude wrap (the reference's smooth look comes from its 4k asset;
+    at test/procedural resolutions nearest-texel banding is visible, so
+    filter explicitly — 4 gathers instead of 1)."""
     h, w, _ = sky.pixels.shape
     if h == 1 and w == 1:
         return jnp.broadcast_to(sky.pixels[0, 0], dirs.shape[:-1] + (3,))
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     u = (jnp.arctan2(z, x) * INV2PI) * w - 0.5
     v = (jnp.arccos(jnp.clip(y, -1.0, 1.0)) * INVPI) * h - 0.5
-    ui = jnp.mod(jnp.round(u).astype(jnp.int32), w)
-    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
-    flat = vi * w + ui
-    return jnp.take(sky.pixels.reshape(-1, 3), flat, axis=0)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    flat_px = sky.pixels.reshape(-1, 3)
+
+    def fetch(ui, vi):
+        ui = jnp.mod(ui.astype(jnp.int32), w)       # longitude wraps
+        vi = jnp.clip(vi.astype(jnp.int32), 0, h - 1)  # latitude clamps
+        return jnp.take(flat_px, vi * w + ui, axis=0)
+
+    c00 = fetch(u0, v0)
+    c10 = fetch(u0 + 1, v0)
+    c01 = fetch(u0, v0 + 1)
+    c11 = fetch(u0 + 1, v0 + 1)
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) \
+        + (c01 * (1 - fu) + c11 * fu) * fv
 
 
 def _read_radiance_hdr(path: str) -> np.ndarray:
