@@ -58,7 +58,8 @@ def test_nearest_hit_matches_oracle(n_objects):
             mism += 1
             continue
         assert jm[i] == h.material
-    assert mism <= max(2, o.shape[0] // 100), f"{mism} mismatches"
+    # PINNED budget: observed 0 mismatches (2026-08 audit)
+    assert mism <= 2, f"{mism} mismatches"
 
 
 def test_candidate_overflow_still_finds_front_hit():

@@ -59,7 +59,10 @@ def _compare(vol, origins, dirs, atol=2e-3):
             res["normal"][i], h.normal, atol=1e-5,
             err_msg=f"ray {i} normal")
     # allow a tiny fraction of boundary-FP mismatches
-    assert n_mismatch <= max(2, origins.shape[0] // 150), (
+    # PINNED budget: observed 0 mismatches on every scene/camera in this
+    # suite (2026-08 audit); 2 leaves headroom for cross-version FP jitter
+    # only — any regression beyond isolated boundary flips must fail
+    assert n_mismatch <= 2, (
         f"{n_mismatch}/{origins.shape[0]} hit/depth mismatches")
 
 

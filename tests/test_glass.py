@@ -62,7 +62,9 @@ def _compare_flags(vol, origins, dirs, dda_kw, oracle_kw, budget_div=100):
             continue
         assert mat[i] == h.material, (
             f"ray {i}: mat {mat[i]} vs oracle {h.material}")
-    assert n_mismatch <= max(2, n // budget_div), (
+    # PINNED budget: observed 0 mismatches across all glass scenes
+    # (2026-08 audit; budget_div retained in signatures for API stability)
+    assert n_mismatch <= 2, (
         f"{n_mismatch}/{n} hit/depth mismatches")
 
 

@@ -272,6 +272,29 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(t8, t11)
     np.testing.assert_array_equal((aux11 & 255)[hit8], (aux8 & 255)[hit8])
 
+    # hier3p k-pair span scan: the window's brick pair marches as ONE
+    # 32-deep run (two-level exact bit scan): same output
+    _, t12, aux12 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+        mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, mat16=True, traversal="hier3p",
+        slice_depth=2, **mv.brick16_kw())
+    t12 = np.asarray(t12); aux12 = np.asarray(aux12)
+    hit12 = t12 < 1e30
+    np.testing.assert_array_equal(hit8, hit12)
+    np.testing.assert_allclose(t12[hit8], t8[hit8], atol=2e-4)
+    np.testing.assert_array_equal((aux12 & 255)[hit8], (aux8 & 255)[hit8])
+
+    # hier3p + deferred-material vote: same output
+    _, t13, aux13 = mega.render_mega_tiles(
+        cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+        tb.matw, mv.pal, width=64, height=32, fine_iters=96,
+        fine_unroll=4, interpret=True, traversal="hier3p",
+        slice_depth=2, **mv.brick16_kw())
+    t13 = np.asarray(t13); aux13 = np.asarray(aux13)
+    np.testing.assert_allclose(t13[hit8], t8[hit8], atol=2e-4)
+    np.testing.assert_array_equal((aux13 & 255)[hit8], (aux8 & 255)[hit8])
+
     # fused-depth mode (slice_depth=2): one 32-deep box per window
     _, t3, aux3 = mega.render_mega_tiles(
         cam_p, mv.occ16, mv.occw16, jnp.zeros((1, 1), jnp.int32), tb.matw,

@@ -92,6 +92,7 @@ def main():
     mega16_sub = None
     if args.kernel == "mega16":
         mega16_occw["hier3"] = mv.ensure_axes()
+        mega16_occw["hier3p"] = mega16_occw["hier3"]
         mega16_sub = mv.ensure_sub_axes()
     sun = jnp.asarray([-0.619501, 0.465931, -0.631765], jnp.float32)
 

@@ -637,8 +637,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     log_b = int(np.log2(brick))
     assert 1 << log_b == brick and brick in (8, 16, 32)
     assert brick == BRICK or traversal in ("brick", "patch", "hier",
-                                           "hier3"), \
-        "brick=16/32 supports brick/patch/hier/hier3 traversals only"
+                                           "hier3", "hier3p"), \
+        "brick=16/32 supports brick/patch/hier/hier3/hier3p traversals only"
     if traversal == "hier":
         # hierarchical fine march: needs the pack_sub4 table in the wsm
         # slot and the brick16 one-row occupancy layout
@@ -651,6 +651,16 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         # (the brick_body sub-slice loop)
         assert brick == 16 and slice_depth in (1, 2), \
             "hier3 traversal requires brick=16, slice_depth in (1, 2)"
+    if traversal == "hier3p":
+        # k-pair span scan: the window's TWO k-slices march as ONE box
+        # whose 32-voxel k-runs are synthesized from the brick pair's
+        # adjacent per-axis word rows — half the windows/visits of hier3
+        # at the cost of one extra word gather and an exact two-level
+        # (16+16) bit scan per step (a 32-bit highest-set-bit via one f32
+        # exponent is WRONG for values in [2^30, 2^31) with a full
+        # mantissa — rounding carries into the next exponent)
+        assert brick == 16 and slice_depth == 2 and not sub_skip, \
+            "hier3p requires brick=16, slice_depth=2, no sub_skip"
     assert not sub_skip or traversal == "hier3", \
         "sub_skip (pack_sub4_axes block skipping) is a hier3 option"
     assert not (sub_skip and matw_space == "compact"), \
@@ -665,7 +675,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # table (8 scalar-row loads + select tree + lane gather) — no vote
     if mat16:
         assert brick == 16 and traversal in ("brick", "patch", "hier",
-                                             "hier3") \
+                                             "hier3", "hier3p") \
             and matw_space == "vmem" \
             and not (slice_depth == 2 and traversal == "brick"), \
             "mat16 requires brick=16 brick/patch traversal, VMEM matw, " \
@@ -693,6 +703,10 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
     # (two word rows, per-lane row select) — halves the window/slab/entry
     # overhead and avoids wasted chunk tails at brick crossings
     deep = brick == 16 and slice_depth == 2 and traversal == "brick"
+    h3p = traversal == "hier3p"
+    # deep_box: the window's slice pair is ONE fused box (deep fine DDA
+    # or hier3p span scan) — shared brick-pair/extent geometry
+    deep_box = deep or h3p
     shape = (tile_rows, LANES)
     log_tw = int(np.log2(tile_w))
     assert 1 << log_tw == tile_w
@@ -930,7 +944,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
                 done = done_i > 0
                 n_rect = jnp.maximum(n_u * n_v, 1)
-                if deep:
+                if deep_box:
                     # fused-depth mode: one box spans the whole window's
                     # slice_depth bricks along k; no sub-slice loop
                     sub = 0
@@ -945,7 +959,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 su = jnp.where(u_fwd, iu0 + ui, iu1 - ui)
                 sv = jnp.where(v_fwd, iv0 + vi, iv1 - vi)
 
-                if deep:
+                if deep_box:
                     # box-min brick along k + pair validity
                     s2 = s + ksign
                     s2_ok = (s2 >= 0) & (s2 < nk)
@@ -959,7 +973,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 bidx = (bzc * BY + byc) * BX + bxc
                 occ = jnp.where(s_ok, occ_ref[0, jnp.clip(bidx, 0, NB - 1)],
                                 0)
-                if deep:
+                if deep_box:
                     # second brick of the pair = box-min + 1 along k
                     kstride = pick3(1, BX, BX * BY, k)
                     bidx2 = bidx + kstride
@@ -1003,7 +1017,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         tn = jnp.zeros(shape, jnp.float32)
                         tf = jnp.full(shape, BIG, jnp.float32)
                         b_ax = jnp.zeros(shape, jnp.int32)
-                        if deep:
+                        if deep_box:
                             exts = (jnp.where(k == 0, ext_k, rbpu),
                                     jnp.where(k == 1, ext_k, rbpu),
                                     jnp.where(k == 2, ext_k, rbpu))
@@ -1037,6 +1051,12 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                         if deep:
                             h_axv = st["h_ax"]
                             h_bitv = st["h_bit"]
+                        elif h3p:
+                            # local 12-bit (k&15 in low bits) + pair bit in
+                            # st["h_hi"]; mask the -1 no-hit sentinel so
+                            # downstream gathers stay in range
+                            h_axv = st["h_ax"]
+                            h_bitv = st["h_bit"] & 4095
                         else:
                             h_axv = (st["h_bit"] >> ax_shift) & 3
                             h_bitv = st["h_bit"] & ((1 << ax_shift) - 1)
@@ -1064,11 +1084,32 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                 # select by the destination lane's row bits
                                 # (select-then-gather would apply another
                                 # lane's row choice at the source position)
-                                g = [jnp.take_along_axis(
-                                    jnp.broadcast_to(
-                                        matw_ref[bidx * 8 + r, :][None, :],
-                                        shape), lane, axis=1)
-                                    for r in range(8)]
+                                if h3p:
+                                    # pair mode: rows from BOTH bricks,
+                                    # per-lane select by the hit's k-high
+                                    # bit (st["h_hi"])
+                                    b2c = jnp.clip(bidx2, 0, NB - 1)
+                                    hi_sel = st["h_hi"] > 0
+                                    g = []
+                                    for r in range(8):
+                                        ga = jnp.take_along_axis(
+                                            jnp.broadcast_to(
+                                                matw_ref[bidx * 8 + r, :]
+                                                [None, :], shape),
+                                            lane, axis=1)
+                                        gb = jnp.take_along_axis(
+                                            jnp.broadcast_to(
+                                                matw_ref[b2c * 8 + r, :]
+                                                [None, :], shape),
+                                            lane, axis=1)
+                                        g.append(jnp.where(hi_sel, gb, ga))
+                                else:
+                                    g = [jnp.take_along_axis(
+                                        jnp.broadcast_to(
+                                            matw_ref[bidx * 8 + r, :]
+                                            [None, :], shape),
+                                        lane, axis=1)
+                                        for r in range(8)]
                                 sel = wi >> 7                  # row 0..7
                                 l1 = [jnp.where((sel & 1) == 0, g[i],
                                                 g[i + 1])
@@ -1091,7 +1132,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                             vx = bxc * brick + (hb & (brick - 1))
                             vy = byc * brick + ((hb >> log_b) & (brick - 1))
                             vz = bzc * brick + (hb >> (2 * log_b))
-                            if deep:
+                            if deep_box:
                                 # k coordinate's 2nd-brick offset
                                 hh = jnp.where(st["h_hi"] > 0, 16, 0)
                                 vx = vx + jnp.where(k == 0, hh, 0)
@@ -1429,6 +1470,173 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                       bit_map=bit_map,
                                       ax_map=lambda a: pick3(k, ku, kv, a))
 
+                    def hier3p_fine(carry4):
+                        # k-pair span scan: hier3 with a 32-voxel k-run
+                        # synthesized from the brick pair's ADJACENT
+                        # per-axis word rows (k is the layout's fastest
+                        # brick factor, so pair rows are bidx3, bidx3+1).
+                        # Halves the windows/visits; costs one extra word
+                        # gather + the exact two-level bit scan per step.
+                        hit_t, hit_mat, hit_ax, steps = carry4
+                        bidx3 = (sv * nu + su) * nk + smin
+                        row_a = jnp.broadcast_to(
+                            occw_ref[k * NB + jnp.clip(bidx3, 0, NB - 1),
+                                     :][None, :], shape)
+                        row_b = jnp.broadcast_to(
+                            occw_ref[k * NB + jnp.clip(bidx3 + 1, 0,
+                                                       NB - 1), :]
+                            [None, :], shape)
+                        row_b = jnp.where(s2_ok, row_b, 0)
+                        bk0 = smin.astype(jnp.float32) * rbpu
+                        bu0 = su.astype(jnp.float32) * rbpu
+                        bv0 = sv.astype(jnp.float32) * rbpu
+                        fek = (ok_ + dk_ * enter - bk0) * vpu
+                        feu = (ou_ + du_ * enter - bu0) * vpu
+                        fev = (ov_ + dv_ * enter - bv0) * vpu
+                        EPS = jnp.float32(5e-4)
+                        nek = dk_ * EPS + fek
+                        neu = du_ * EPS + feu
+                        nev = dv_ * EPS + fev
+                        kpos = ksign > 0
+                        pk3 = jnp.where(kpos, -1, 0)
+                        sgnu3 = jnp.where(jnp.signbit(du_), -1, 1)
+                        sgnv3 = jnp.where(jnp.signbit(dv_), -1, 1)
+                        pu3 = -jnp.maximum(sgnu3, 0)
+                        pv3 = -jnp.maximum(sgnv3, 0)
+                        mk31 = jnp.where(s2_ok, 31, 15)
+
+                        at_vol_entry = enter <= tmin + 1e-12
+                        ax0 = jnp.where(at_vol_entry, entry_axis, b_ax)
+                        ax0k = jnp.where(ax0 == k, 0,
+                                         jnp.where(ax0 == ku, 1, 2))
+
+                        st0 = dict(ft=jnp.zeros(shape, jnp.float32),
+                                   la=(ax0k << 1) | cross.astype(jnp.int32),
+                                   h_bit=jnp.full(shape, -1, jnp.int32),
+                                   h_ax=jnp.zeros(shape, jnp.int32),
+                                   h_hi=jnp.zeros(shape, jnp.int32),
+                                   stp=steps)
+
+                        def fine_step(st):
+                            la = st["la"]
+                            live_b = (la & 1) > 0
+                            ft = st["ft"]
+                            ckr = jnp.floor(nek + dk_ * ft).astype(jnp.int32)
+                            cur = jnp.floor(neu + du_ * ft).astype(jnp.int32)
+                            cvr = jnp.floor(nev + dv_ * ft).astype(jnp.int32)
+                            oob = ((ckr & ~mk31)
+                                   | ((cur | cvr) & ~15)) != 0
+                            live_b = live_b & ~oob
+                            ck_ = ckr & 31
+                            cu_ = cur & 15
+                            cv_ = cvr & 15
+                            lane = ((cv_ << 8) | (cu_ << 4)) >> 5
+                            w_a = jnp.take_along_axis(row_a, lane, axis=1)
+                            w_b = jnp.take_along_axis(row_b, lane, axis=1)
+                            sh16 = (cu_ & 1) << 4
+                            r16a = (w_a >> sh16) & 0xFFFF
+                            r16b = (w_b >> sh16) & 0xFFFF
+                            run32 = r16a | (r16b << 16)
+                            # bits at-or-ahead of ck in the ray's direction
+                            mpos = run32 & (jnp.int32(-1) << ck_)
+                            mneg = run32 & ((jnp.int32(2) << ck_) - 1)
+                            m2 = jnp.where(kpos, mpos, mneg)
+                            found = m2 != 0
+                            # EXACT 32-bit scans.  +k lowest set bit:
+                            # m2 & -m2 is a power of two, f32-exact at all
+                            # 32 positions once the sign bit is masked
+                            # out of the exponent read (bit 31 -> -2^31).
+                            lsbv = m2 & -m2
+                            ck_lsb = ((jax.lax.bitcast_convert_type(
+                                lsbv.astype(jnp.float32), jnp.int32)
+                                >> 23) & 255) - 127
+                            # -k highest set bit: two-level 16+16 — a raw
+                            # 32-bit f32 exponent read rounds UP for
+                            # near-full mantissas in [2^30, 2^31)
+                            hi16 = (m2 >> 16) & 0xFFFF
+                            lo16 = m2 & 0xFFFF
+                            use_hi = hi16 != 0
+                            v16 = jnp.where(use_hi, hi16, lo16)
+                            e16 = (jax.lax.bitcast_convert_type(
+                                v16.astype(jnp.float32), jnp.int32)
+                                >> 23) - 127
+                            ck_hsb = jnp.where(use_hi, e16 + 16, e16)
+                            ckc = jnp.where(kpos, ck_lsb, ck_hsb)
+                            t_cand = ((ckc + 1 + pk3).astype(jnp.float32)
+                                      - fek) * rdk
+                            # u-pair skip only when BOTH bricks' words are
+                            # empty at this (u-pair, v)
+                            w_or = w_a | w_b
+                            mu = jnp.where(w_or == 0, -2, -1)
+                            tgv = cvr + (1 & pv3)
+                            tgu = (cur & mu) + ((-mu) & pu3)
+                            tu = (tgu.astype(jnp.float32) - feu) * rdu
+                            tv = (tgv.astype(jnp.float32) - fev) * rdv
+                            t_uv = jnp.minimum(tu, tv)
+                            hit_now = ckc == ck_
+                            hit_ahead = found & ~hit_now & (t_cand < t_uv)
+                            is_hit = live_b & (hit_now | hit_ahead)
+                            ckh = jnp.where(hit_now, ck_, ckc)
+                            bit_h = (cv_ << 8) | (cu_ << 4) | (ckh & 15)
+                            ax_h = jnp.where(hit_now, la >> 1, 0)
+                            h_bit = jnp.where(is_hit, bit_h, st["h_bit"])
+                            h_ax = jnp.where(is_hit, ax_h, st["h_ax"])
+                            h_hi = jnp.where(is_hit, ckh >> 4, st["h_hi"])
+                            live = live_b & ~is_hit
+                            adv = t_uv
+                            ax2 = jnp.where(tu < tv, 1, 2)
+                            ft2 = jnp.maximum(adv, ft)
+                            out = dict(ft=ft2,
+                                       la=(ax2 << 1) | live.astype(jnp.int32),
+                                       h_bit=h_bit, h_ax=h_ax, h_hi=h_hi,
+                                       stp=st["stp"])
+                            if track_steps:
+                                out["stp"] = st["stp"] + jnp.where(
+                                    live_b, 1, 0)
+                            return out
+
+                        def fine_cond(c):
+                            fi, st = c
+                            return (fi < fine_iters) \
+                                & (jnp.sum(st["la"] & 1) > 0)
+
+                        def fine_body(c):
+                            fi, st = c
+                            for _ in range(fine_unroll):
+                                st = fine_step(st)
+                            return (fi + fine_unroll, st)
+
+                        stp0 = fine_step(fine_step(st0))
+                        _, st = jax.lax.while_loop(fine_cond, fine_body,
+                                                   (jnp.int32(2), stp0))
+                        # hit-entry t: direct slab against the hit voxel,
+                        # k coordinate rebuilt from the low bits + pair bit
+                        hb = st["h_bit"] & 4095
+                        ckf = (hb & 15) | (st["h_hi"] << 4)
+                        ek_ = (ckf + 1 + pk3 - fek).astype(jnp.float32)
+                        eu_ = (((hb >> 4) & 15) + 1 + pu3
+                               - feu).astype(jnp.float32)
+                        ev_ = ((hb >> 8) + 1 + pv3 - fev).astype(jnp.float32)
+                        h_ft = jnp.maximum(
+                            jnp.maximum(jnp.maximum(ek_ * rdk, eu_ * rdu),
+                                        ev_ * rdv), 0.0)
+                        stf = dict(h_bit=st["h_bit"], h_ax=st["h_ax"],
+                                   h_hi=st["h_hi"], h_ft=h_ft,
+                                   stp=st["stp"])
+
+                        def bit_map(hb_):
+                            ck2 = hb_ & 15
+                            cu2 = (hb_ >> 4) & 15
+                            cv2 = hb_ >> 8
+                            gx = pick3(ck2, cv2, cu2, k)
+                            gy = pick3(cu2, ck2, cv2, k)
+                            gz = pick3(cv2, cu2, ck2, k)
+                            return (gz << 8) | (gy << 4) | gx
+
+                        return finish(stf, hit_t, hit_mat, hit_ax,
+                                      bit_map=bit_map,
+                                      ax_map=lambda a: pick3(k, ku, kv, a))
+
                     def fine(carry4):
                         hit_t, hit_mat, hit_ax, steps = carry4
                         if deep:
@@ -1626,7 +1834,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                     hit_t, hit_mat, hit_ax, steps = jax.lax.cond(
                         jnp.any(cross),
                         {"hier": hier_fine,
-                         "hier3": hier3_fine}.get(traversal, fine),
+                         "hier3": hier3_fine,
+                         "hier3p": hier3p_fine}.get(traversal, fine),
                         lambda c: c, (hit_t, hit_mat, hit_ax, steps))
                     return (hit_t, hit_mat, hit_ax, steps, done_i)
 
@@ -2051,7 +2260,8 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                 resolved_i = jnp.where(in_slice & overflow, 0, resolved_i)
                 n_bricks = jnp.minimum(total, max_bricks_per_tile)
                 carry2 = jax.lax.fori_loop(
-                    0, n_bricks * (1 if deep else slice_depth), brick_body,
+                    0, n_bricks * (1 if deep_box else slice_depth),
+                    brick_body,
                     (hit_t, hit_mat, hit_ax, steps, done_i))
                 hit_t, hit_mat, hit_ax, steps, done_i = carry2
             fin = (hit_t < BIG) | (active0 & (t1 >= tmax - 1e-7))
@@ -2505,12 +2715,12 @@ def render_mega(mv: MegaVolume, camera, width, height, *, sun_dir=None,
     static_argnames=("bsize", "vpu", "tile_rows", "max_bricks_per_tile",
                      "fine_iters", "fetch_mat", "fine_unroll",
                      "track_steps", "word_gather", "interpret", "brick",
-                     "mat_bsize", "matw_space", "traversal"))
+                     "mat_bsize", "matw_space", "traversal", "slice_depth"))
 def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                max_bricks_per_tile=64, fine_iters=24, fetch_mat=False,
                fine_unroll=4, track_steps=False, word_gather=True,
                interpret=False, brick=BRICK, mat_bsize=None,
-               matw_space="vmem", traversal="brick"):
+               matw_space="vmem", traversal="brick", slice_depth=1):
     """Trace N local-space rays through the fast kernel (ray_source='refs').
 
     The ray-list twin of `render_mega_tiles` — for shadow rays and bounce
@@ -2533,7 +2743,8 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
         word_gather=word_gather, fetch_mat=fetch_mat,
         fine_unroll=fine_unroll, track_steps=track_steps,
         ray_source="refs", brick=brick, mat_bsize=mat_bsize,
-        matw_space=matw_space, traversal=traversal)
+        matw_space=matw_space, traversal=traversal,
+        slice_depth=slice_depth)
 
     cam = jnp.zeros((29,), jnp.float32)
     pal = jnp.zeros((8, 128), jnp.float32)
@@ -2590,7 +2801,8 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                      "tile_w", "ambient", "fine_unroll", "interpret",
                      "shadow_tile_rows", "track_steps", "real_width",
                      "real_height", "brick", "mat_bsize", "matw_space",
-                     "fine_iters", "mat16", "traversal", "accumulate"))
+                     "fine_iters", "mat16", "traversal", "accumulate",
+                     "slice_depth", "shadow_slice_depth"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
@@ -2599,7 +2811,8 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          mat_bsize=None, matw_space="vmem", fine_iters=24,
                          mat16=False, traversal="brick", accumulate=False,
                          prev_accu=None, prev_planes=None,
-                         depth_delta=0.0):
+                         depth_delta=0.0, slice_depth=1,
+                         shadow_slice_depth=1):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -2613,7 +2826,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         sky_mode="none", shading="raw", fine_unroll=fine_unroll,
         track_steps=track_steps, interpret=interpret, brick=brick,
         mat_bsize=mat_bsize, matw_space=matw_space, fine_iters=fine_iters,
-        mat16=mat16, traversal=traversal)
+        mat16=mat16, traversal=traversal, slice_depth=slice_depth)
     tile_h = tile_rows * LANES // tile_w
     n = width * height
     t = untile(t.reshape(n), height, width, tile_h, tile_w)
@@ -2649,12 +2862,16 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         d_s = jnp.concatenate(
             [d_s, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
                            (pad, 1))], axis=0)
+    # hier3p is a window-pair mode: at shadow_slice_depth=1 the shadow
+    # list falls back to plain hier3 on the same per-axis tables
+    sh_trav = ("hier3" if traversal == "hier3p" and shadow_slice_depth == 1
+               else traversal)
     sh = trace_rays(o_s, d_s, occ, occw, wsm,
                     jnp.zeros((1, 128), jnp.int32),   # no materials needed
                     bsize=bsize, vpu=vpu, tile_rows=shadow_tile_rows,
                     fine_unroll=fine_unroll, fine_iters=fine_iters,
                     interpret=interpret, brick=brick, mat_bsize=mat_bsize,
-                    traversal=traversal)
+                    traversal=sh_trav, slice_depth=shadow_slice_depth)
     occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
     # unresolved shadow rays (sun fighting the tile axis) fall back to lit
 
@@ -2699,7 +2916,10 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
                         tile_rows=8, tile_w=32, fine_unroll=4,
                         interpret=False, shadow_tile_rows=8,
                         track_steps=True, use_brick16=False,
-                        use_hier3=False, prev_accu=None, prev_planes=None,
+                        use_hier3=False, use_hier3p=False,
+                        use_brick32=False,
+                        slice_depth=1, shadow_slice_depth=1,
+                        prev_accu=None, prev_planes=None,
                         depth_delta=0.0):
     """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
     ray-list shadow pass + gather-free XLA shading/tonemap.
@@ -2728,13 +2948,31 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
     wp = -(-width // tile_w) * tile_w    # pad to tile grid, crop after
     hp = -(-height // tile_h) * tile_h
     dummy_wsm = jnp.zeros((1, 1), jnp.int32)
-    if use_brick16 or use_hier3:
+    if use_brick32:
+        # 32^3 super-bricks: half the slice windows of brick16 on big
+        # merged grids; materials via the 8^3 vote (compact when the
+        # full table exceeds VMEM)
+        mv._ensure32()
+        kw32 = {k: v for k, v in mv.brick32_kw().items() if k != "vpu"}
+        kw = dict(occ=mv.occ32, occw=mv.occw32, wsm=dummy_wsm,
+                  fine_iters=96, **kw32)
+        if mv.mat16_fits_vmem():
+            kw.update(matw=tb.matw)
+        else:
+            matw_c, remap = mv.compact_matw()
+            kw.update(matw=matw_c, wsm=remap, matw_space="compact")
+    elif use_brick16 or use_hier3 or use_hier3p:
         kw = dict(occ=mv.occ16, occw=mv.occw16, wsm=dummy_wsm,
                   bsize=mv.bsize16, brick=16, mat_bsize=tb.bsize,
                   fine_iters=48)
         if use_hier3:
             # span-scanning march: per-axis occupancy word tables
             kw.update(occw=mv.ensure_axes(), traversal="hier3")
+        if use_hier3p:
+            # k-pair span scan: two-slice fused windows on the same
+            # per-axis tables
+            kw.update(occw=mv.ensure_axes(), traversal="hier3p")
+            slice_depth = 2
         if mv.mat16_fits_vmem():
             # in-brick material resolve from the pack_mat16 table
             kw.update(matw=mv.matw16, mat16=True)
@@ -2758,7 +2996,8 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
         shadow_tile_rows=shadow_tile_rows, track_steps=track_steps,
         real_width=width, real_height=height, accumulate=accumulate,
         prev_accu=prev_accu, prev_planes=prev_planes,
-        depth_delta=jnp.float32(depth_delta), **kw)
+        depth_delta=jnp.float32(depth_delta), slice_depth=slice_depth,
+        shadow_slice_depth=shadow_slice_depth, **kw)
     if (wp, hp) != (width, height):
         out = {kk: vv[:height, :width] for kk, vv in out.items()}
     return out
