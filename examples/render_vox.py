@@ -30,8 +30,10 @@ def main():
     ap.add_argument("--cam", default="1.2,1.0,-1.6", help="camera position")
     ap.add_argument("--target", default="0,0,0")
     ap.add_argument("--fast", action="store_true",
-                    help="fused Pallas megakernel path (flat/lambert; "
-                         "analytic sky instead of the texture sample)")
+                    help="kernel-backed path: fused megakernel for "
+                         "flat/lambert (analytic sky instead of the "
+                         "texture sample); MegaIntersector-traversed "
+                         "full Whitted for --mode full")
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.size.split("x"))
@@ -47,7 +49,15 @@ def main():
     camera = renderer.camera(cam_pos, target)
 
     t0 = time.perf_counter()
-    if args.fast and args.mode in ("flat", "lambert"):
+    if args.fast and args.mode == "full":
+        from voxel_tracer_tpu.ops.pallas import mega
+        from voxel_tracer_tpu.ops.pallas.whitted import (
+            MegaIntersector, render_whitted_mega)
+        mv = mega.MegaVolume(vol)
+        isect = MegaIntersector(mv, tile_rows=8, shadow_rounds=2)
+        aovs = render_whitted_mega(isect, sdata, camera, w, h, 0,
+                                   config=cfg)
+    elif args.fast and args.mode in ("flat", "lambert"):
         from voxel_tracer_tpu.ops.pallas import mega
         mv = mega.MegaVolume(vol)
         if args.mode == "flat":

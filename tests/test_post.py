@@ -2,6 +2,8 @@
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from voxel_tracer_tpu.models.camera import Camera
 from voxel_tracer_tpu.ops.denoise import box_blur, gaussian_blur, \
     gaussian_kernel_1d
@@ -31,6 +33,33 @@ class TestDenoise:
         v1 = np.asarray(box_blur(img, passes=1)).var()
         v2 = np.asarray(box_blur(img, passes=2)).var()
         assert v2 < v1 < img.var()
+
+    def test_fxaa_smooths_diagonal_edge(self, rng=np.random.RandomState(3)):
+        """An aliased diagonal step edge loses contrast at the stairs;
+        flat regions pass through untouched (template.cpp:199-320
+        threshold semantics)."""
+        from voxel_tracer_tpu.ops.denoise import fxaa
+
+        h = w = 32
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img = np.where((yy > xx)[..., None], 1.0, 0.0).astype(np.float32)
+        img = np.repeat(img, 3, axis=-1)
+        out = np.asarray(fxaa(jnp.asarray(img)))
+        # staircase pixels get blended toward the cross average
+        edge_band = np.abs(yy - xx) <= 1
+        assert np.abs(out - img)[edge_band].max() > 0.05
+        # far-from-edge pixels unchanged
+        flat = np.abs(yy - xx) > 3
+        np.testing.assert_allclose(out[flat], img[flat], atol=1e-6)
+        # output stays in gamut
+        assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+
+    def test_fxaa_flat_image_identity(self):
+        from voxel_tracer_tpu.ops.denoise import fxaa
+
+        img = jnp.full((16, 16, 3), 0.4, jnp.float32)
+        np.testing.assert_allclose(np.asarray(fxaa(img)),
+                                   np.asarray(img), atol=1e-7)
 
     def test_gaussian_kernel_normalized(self):
         k = gaussian_kernel_1d(1.5)

@@ -460,6 +460,7 @@ def render_whitted_mega(isect: MegaIntersector, scene, camera, width,
 
     if config is None:
         config = RenderConfig(width=width, height=height, shading="full")
+    frame = jnp.asarray(frame, jnp.int32)
     hit, origins, dirs = primary_hit_mega(
         isect, camera, width, height, tile_rows=tile_rows, tile_w=tile_w)
     return render_rays(scene, origins, dirs, frame, config=config,
