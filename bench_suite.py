@@ -244,11 +244,13 @@ def bench_multiobj_shadow():
         cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
         # shadow_tile_rows=128: the sun-shadow ray list is the frame's
         # dominant cost here; 16384-ray tiles amortize its per-slice
-        # footprint reductions 3x over the 2048-ray default (45 -> 15 ms)
+        # footprint reductions 3x over the 2048-ray default (45 -> 15 ms).
+        # hier3 edges the incremental brick16 march on this scene
+        # (47.2 vs 46.5 fps, tools/sweep_multiobj.py)
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=64,
-                                       tile_w=128, fine_unroll=6,
+                                       tile_w=128, fine_unroll=4,
                                        shadow_tile_rows=128,
-                                       track_steps=False, use_brick16=True)
+                                       track_steps=False, use_hier3=True)
         return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
 
     dt = _timeit(_frame_loop(frame, FRAMES), _force_sync, rounds=2) / FRAMES

@@ -361,6 +361,24 @@ def test_lambert_mega_brick16_agrees(scene):
     np.testing.assert_allclose(a["irradiance"][hit], c["irradiance"][hit],
                                atol=1e-5)
 
+    # k-pair span scan (use_hier3p, fused two-slice windows): same frame
+    e = {k: np.asarray(v) for k, v in mega.render_lambert_mega(
+        mv, cam, 64, 32, interpret=True, use_hier3p=True).items()}
+    np.testing.assert_array_equal(hit, e["depth"] < 1e30)
+    np.testing.assert_allclose(a["depth"][hit], e["depth"][hit], atol=2e-4)
+    np.testing.assert_array_equal(a["material"][hit], e["material"][hit])
+    np.testing.assert_allclose(a["irradiance"][hit], e["irradiance"][hit],
+                               atol=1e-5)
+
+    # 32^3 super-bricks (use_brick32): same lit frame
+    d = {k: np.asarray(v) for k, v in mega.render_lambert_mega(
+        mv, cam, 64, 32, interpret=True, use_brick32=True).items()}
+    np.testing.assert_array_equal(hit, d["depth"] < 1e30)
+    np.testing.assert_allclose(a["depth"][hit], d["depth"][hit], atol=1e-5)
+    np.testing.assert_array_equal(a["material"][hit], d["material"][hit])
+    np.testing.assert_allclose(a["irradiance"][hit], d["irradiance"][hit],
+                               atol=1e-5)
+
 
 def test_set_voxel_incremental_equals_repack(scene):
     """Edit-then-render == repack-then-render for every packed table
@@ -457,6 +475,21 @@ def test_trace_rays_matches_oracle(scene):
     assert n_hit > 5
     # scattered dirs: a fair share fight their tile's axis and defer
     assert resolved.mean() > 0.3
+
+    # hier traversal through trace_rays (the pack_sub4 table rides the
+    # wsm operand in VMEM — the conditional BlockSpec): same hits
+    mv2 = mega.MegaVolume(scene)
+    res_h = mega.trace_rays(
+        jnp.asarray(o_l), jnp.asarray(d), mv2.occ16, mv2.occw16, mv2.sub4,
+        mv2.matw16, bsize=mv2.bsize16, vpu=tb.vpu, brick=16,
+        mat_bsize=tb.bsize, traversal="hier", fine_iters=96,
+        interpret=True)
+    t_h = np.asarray(res_h["t"])
+    both = resolved & np.asarray(res_h["resolved"])
+    assert both.mean() > 0.25
+    np.testing.assert_array_equal((t[both] < 1e30), (t_h[both] < 1e30))
+    hitb = both & (t < 1e30)
+    np.testing.assert_allclose(t_h[hitb], t[hitb], atol=2e-3)
 
 
 def test_lambert_mega_matches_wavefront(scene):
