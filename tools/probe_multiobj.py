@@ -76,17 +76,6 @@ def main():
             **kw16)
         return rgba[0, 0].astype(jnp.float32) * 1e-38
 
-    def primary_trace_only(theta):
-        cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
-        cam_p = mega.mega_camera(mv, cam, sun, W, H)
-        rgba, t, aux = mega.render_mega_tiles(
-            cam_p, mv.occ16, occw3, jnp.zeros((1, 1), jnp.int32),
-            jnp.zeros((1, 128), jnp.int32), mv.pal,
-            width=W, height=H, tile_rows=64, tile_w=128,
-            sky_mode="none", shading="trace", fetch_mat=False,
-            fine_unroll=4, track_steps=False, traversal="hier3", **kw16)
-        return t[0, 0] * 1e-38
-
     def full(theta):
         cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=64,
@@ -95,7 +84,9 @@ def main():
                                        track_steps=False, use_hier3=True)
         return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
 
-    bench("primary trace only (no mats)", primary_trace_only)
+    # NOTE: camera-mode + shading='trace' at tile_rows=64 hangs the
+    # Mosaic compile on this toolchain (observed twice; wedges the
+    # tunnel) — probe with the exact 'raw' primary config instead.
     bench("primary raw (compact mats)", primary_only)
     bench("full lambert (hier3)", full)
 

@@ -2850,8 +2850,13 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
     origins = origins.reshape(-1, 3)
     dirs = dirs.reshape(-1, 3)
 
-    # pass 2: shadow rays toward the sun from offset hit points
+    # pass 2: shadow rays toward the sun from offset hit points.
+    # Back-facing surfaces (N.L <= 0) are dark regardless of occlusion —
+    # park their rays with the miss rays so the kernel slab-rejects them
+    incidence = jnp.sum(normal * sun_dir, axis=-1)
+    need_shadow = hit & (incidence > 0.0)
     p_w = origins + dirs * jnp.minimum(t, BIG)[:, None] + normal * 1e-4
+    p_w = jnp.where(need_shadow[:, None], p_w, 1e6)
     sdirs = jnp.broadcast_to(sun_dir, p_w.shape)
     o_s, d_s = _to_local(rot, pos, pivot, p_w, sdirs)
     # miss rays trace from far outside the volume: instant slab reject
@@ -2875,8 +2880,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
     occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
     # unresolved shadow rays (sun fighting the tile axis) fall back to lit
 
-    incidence = jnp.sum(normal * sun_dir, axis=-1)
-    lit = hit & (incidence > 0.0) & ~occluded
+    lit = need_shadow & ~occluded
     irr = jnp.where(lit[:, None], sun_light * incidence[:, None], 0.0) \
         + ambient
 
