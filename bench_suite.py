@@ -242,14 +242,14 @@ def bench_multiobj_shadow():
         # sub-voxel camera dolly: frames differ so XLA cannot hoist the
         # render out of the loop, pose is still the profiling pose
         cam = cam0._replace(pos=cam0.pos + theta * 1e-5)
-        # shadow_tile_rows=128: the sun-shadow ray list is the frame's
-        # dominant cost here; 16384-ray tiles amortize its per-slice
-        # footprint reductions 3x over the 2048-ray default (45 -> 15 ms).
-        # hier3 edges the incremental brick16 march on this scene
-        # (47.2 vs 46.5 fps, tools/sweep_multiobj.py)
+        # shadow_tile_rows=32 + square-block shadow tiling: each
+        # 4096-ray shadow tile is a 64x64 PIXEL block, so its hit-point
+        # origins stay spatially tight and the per-slice footprint rects
+        # shrink ~7 ms off the frame (raster strips: 21.4 ms -> 14.5;
+        # tools/sweep_multiobj.py).  hier3 span scan for both passes.
         out = mega.render_lambert_mega(mv, cam, W, H, tile_rows=64,
                                        tile_w=128, fine_unroll=4,
-                                       shadow_tile_rows=128,
+                                       shadow_tile_rows=32,
                                        track_steps=False, use_hier3=True)
         return out["image"][0, 0, 0].astype(jnp.float32) * 1e-38
 

@@ -49,6 +49,12 @@ CONFIGS = [
     dict(label="hier3p deep shadows", use_hier3p=True, tile_rows=64,
          tile_w=128, fine_unroll=4, shadow_tile_rows=128,
          shadow_slice_depth=2),
+    dict(label="hier3 sb128", use_hier3=True, tile_rows=64, tile_w=128,
+         fine_unroll=4, shadow_tile_rows=128, shadow_block=True),
+    dict(label="hier3 sb32", use_hier3=True, tile_rows=64, tile_w=128,
+         fine_unroll=4, shadow_tile_rows=32, shadow_block=True),
+    dict(label="hier3 sb8", use_hier3=True, tile_rows=64, tile_w=128,
+         fine_unroll=4, shadow_tile_rows=8, shadow_block=True),
 ]
 
 

@@ -2802,7 +2802,7 @@ def trace_rays(o_l, d_l, occ, occw, wsm, matw, *, bsize, vpu, tile_rows=8,
                      "shadow_tile_rows", "track_steps", "real_width",
                      "real_height", "brick", "mat_bsize", "matw_space",
                      "fine_iters", "mat16", "traversal", "accumulate",
-                     "slice_depth", "shadow_slice_depth"))
+                     "slice_depth", "shadow_slice_depth", "shadow_block"))
 def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          occw, wsm, matw, pal, camera, *, bsize, vpu, width,
                          height, tile_rows, tile_w, ambient, fine_unroll,
@@ -2812,7 +2812,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                          mat16=False, traversal="brick", accumulate=False,
                          prev_accu=None, prev_planes=None,
                          depth_delta=0.0, slice_depth=1,
-                         shadow_slice_depth=1):
+                         shadow_slice_depth=1, shadow_block=True):
     from voxel_tracer_tpu.models.camera import primary_rays
     from voxel_tracer_tpu.ops.composite import _mat3_t_apply, _to_local
 
@@ -2859,6 +2859,25 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
     p_w = jnp.where(need_shadow[:, None], p_w, 1e6)
     sdirs = jnp.broadcast_to(sun_dir, p_w.shape)
     o_s, d_s = _to_local(rot, pos, pivot, p_w, sdirs)
+    # Square-block shadow tiling: the flat list is raster-major, so a
+    # 16k-ray tile is a 1920-px-wide strip whose hit points span the
+    # whole scene — the per-slice footprint rects blow up.  Reordering
+    # so each kernel tile is a SQUARE pixel block (pure reshape, no
+    # gathers) keeps each tile's shadow origins spatially tight, the
+    # ray-list rebirth of the camera pass's square tiling.
+    sb = None
+    if shadow_block:
+        area = shadow_tile_rows * LANES
+        th = int(np.sqrt(area))
+        while th > 1 and (height % th or width % (area // th)):
+            th //= 2
+        tw = area // th
+        if th > 1 and height % th == 0 and width % tw == 0:
+            sb = (th, tw)
+            from voxel_tracer_tpu.ops.pallas.diffint import (
+                tile_raster, untile_raster)
+            o_s = tile_raster(o_s, height, width, th, tw)
+            d_s = tile_raster(d_s, height, width, th, tw)
     # miss rays trace from far outside the volume: instant slab reject
     pad = (-n) % (shadow_tile_rows * LANES)
     if pad:
@@ -2877,7 +2896,13 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
                     fine_unroll=fine_unroll, fine_iters=fine_iters,
                     interpret=interpret, brick=brick, mat_bsize=mat_bsize,
                     traversal=sh_trav, slice_depth=shadow_slice_depth)
-    occluded = (sh["t"][:n] < BIG) & sh["resolved"][:n]
+    sh_t, sh_res, sh_steps = sh["t"], sh["resolved"], sh["steps"]
+    if sb is not None:
+        from voxel_tracer_tpu.ops.pallas.diffint import untile_raster
+        sh_t = untile_raster(sh_t[:n], height, width, sb[0], sb[1])
+        sh_res = untile_raster(sh_res[:n], height, width, sb[0], sb[1])
+        sh_steps = untile_raster(sh_steps[:n], height, width, sb[0], sb[1])
+    occluded = (sh_t[:n] < BIG) & sh_res[:n]
     # unresolved shadow rays (sun fighting the tile axis) fall back to lit
 
     lit = need_shadow & ~occluded
@@ -2909,7 +2934,7 @@ def _render_lambert_mega(cam_p, rot, pos, pivot, sun_dir, sun_light, occ,
         irradiance=irr.reshape(height, width, 3),
         depth=jnp.where(hit, t, BIG).reshape(height, width),
         normal=normal.reshape(height, width, 3),
-        steps=(steps + sh["steps"][:n]).reshape(height, width),
+        steps=(steps + sh_steps[:n]).reshape(height, width),
         material=(aux & 255).reshape(height, width),
     )
     return out
@@ -2923,6 +2948,7 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
                         use_hier3=False, use_hier3p=False,
                         use_brick32=False,
                         slice_depth=1, shadow_slice_depth=1,
+                        shadow_block=True,
                         prev_accu=None, prev_planes=None,
                         depth_delta=0.0):
     """Sun + shadow-ray lambert frame: fused primary pass (raw albedo) +
@@ -3001,7 +3027,8 @@ def render_lambert_mega(mv: MegaVolume, camera, width, height, *,
         real_width=width, real_height=height, accumulate=accumulate,
         prev_accu=prev_accu, prev_planes=prev_planes,
         depth_delta=jnp.float32(depth_delta), slice_depth=slice_depth,
-        shadow_slice_depth=shadow_slice_depth, **kw)
+        shadow_slice_depth=shadow_slice_depth, shadow_block=shadow_block,
+        **kw)
     if (wp, hp) != (width, height):
         out = {kk: vv[:height, :width] for kk, vv in out.items()}
     return out
