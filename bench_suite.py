@@ -304,7 +304,8 @@ def bench_full_whitted():
     sd = scene.data()
     mv = mega.MegaVolume(merged)
     isect = MegaIntersector(mv, tile_rows=128, fine_iters=48,
-                            fine_unroll=4, shadow_rounds=SHADOW_ROUNDS)
+                            fine_unroll=4, shadow_rounds=SHADOW_ROUNDS,
+                            block_hw=(H, W))
     config = RenderConfig(width=W, height=H, shading="full",
                           max_bounces=BOUNCES, glass_reflections=GLASS_REFL)
     c0 = np.asarray(merged.pos) + np.asarray(merged.size) * 0.5

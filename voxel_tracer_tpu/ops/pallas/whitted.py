@@ -84,7 +84,7 @@ class MegaIntersector:
 
     def __init__(self, mv: mega.MegaVolume, *, tile_rows=8, fine_iters=48,
                  fine_unroll=4, max_bricks_per_tile=64, shadow_rounds=4,
-                 interpret=False):
+                 block_hw=None, interpret=False):
         self.mv = mv
         vol = mv.volume
         self.grid_j = jnp.asarray(vol.grid.astype(np.int32))
@@ -101,6 +101,20 @@ class MegaIntersector:
         self.max_bricks = max_bricks_per_tile
         self.shadow_rounds = shadow_rounds
         self.interpret = interpret
+        # Square-block ray ordering (same trick as the lambert pipeline's
+        # shadow_block): when a ray list is a full H x W wavefront in
+        # raster order, reorder it so each kernel tile is a square pixel
+        # block — hit-point origins stay spatially tight and the
+        # per-slice footprint rects shrink.  block_hw=(H, W).
+        self.block = None
+        if block_hw is not None:
+            h, w = block_hw
+            area = tile_rows * LANES
+            th = int(np.sqrt(area))
+            while th > 1 and (h % th or area % th or w % (area // th)):
+                th //= 2
+            if th > 1 and h % th == 0 and w % (area // th) == 0:
+                self.block = (h, w, th, area // th)
 
         # full-grid hier3 tables (shared with the lambert/flat pipelines)
         self.full_tables = (mv.occ16, mv.ensure_axes())
@@ -123,6 +137,13 @@ class MegaIntersector:
         """trace_rays on (occ16, occw3) hier3 tables; returns dict with
         t/ax/steps/resolved of the ORIGINAL (unpadded) ray count."""
         occ16, occw3 = tables
+        blocked = (self.block is not None
+                   and o_l.shape[0] == self.block[0] * self.block[1])
+        if blocked:
+            from voxel_tracer_tpu.ops.pallas.diffint import tile_raster
+            h, w, th, tw = self.block
+            o_l = tile_raster(o_l, h, w, th, tw)
+            d_l = tile_raster(d_l, h, w, th, tw)
         o_p, d_p, n = _pad_rays(o_l, d_l, self.tile_rows * LANES)
         res = trace_rays(
             o_p, d_p, occ16, occw3, jnp.zeros((1, 1), jnp.int32),
@@ -133,7 +154,13 @@ class MegaIntersector:
             fine_unroll=self.fine_unroll, brick=16,
             mat_bsize=self.mat_bsize, traversal="hier3",
             interpret=self.interpret)
-        return {k: v[:n] for k, v in res.items()}
+        res = {k: v[:n] for k, v in res.items()}
+        if blocked:
+            from voxel_tracer_tpu.ops.pallas.diffint import untile_raster
+            h, w, th, tw = self.block
+            res = {k: untile_raster(v, h, w, th, tw)
+                   for k, v in res.items()}
+        return res
 
     def _hit_cell(self, o_l, d_l, t, ax):
         """Voxel cell of a kernel hit from (t, axis, step sign).
