@@ -84,7 +84,7 @@ class MegaIntersector:
 
     def __init__(self, mv: mega.MegaVolume, *, tile_rows=8, fine_iters=48,
                  fine_unroll=4, max_bricks_per_tile=64, shadow_rounds=4,
-                 block_hw=None, interpret=False):
+                 block_hw=None, resolve_passes=2, interpret=False):
         self.mv = mv
         vol = mv.volume
         self.grid_j = jnp.asarray(vol.grid.astype(np.int32))
@@ -100,6 +100,14 @@ class MegaIntersector:
         self.fine_unroll = fine_unroll
         self.max_bricks = max_bricks_per_tile
         self.shadow_rounds = shadow_rounds
+        # A tile's march axis is chosen per tile, so rays fighting their
+        # tile's majority axis defer (resolved=False) — ~36% of a
+        # RANDOM-direction list (ambient rays).  Each extra resolve pass
+        # re-traces only the still-unresolved rays (others parked), whose
+        # own majority picks the next axis: 2 passes leave ~1/9
+        # incoherent rays unresolved, 3 leave ~none.  Unresolved rays
+        # degrade to miss/unoccluded (a light leak, never a false hit).
+        self.resolve_passes = resolve_passes
         self.interpret = interpret
         # Square-block ray ordering (same trick as the lambert pipeline's
         # shadow_block): when a ray list is a full H x W wavefront in
@@ -145,15 +153,28 @@ class MegaIntersector:
             o_l = tile_raster(o_l, h, w, th, tw)
             d_l = tile_raster(d_l, h, w, th, tw)
         o_p, d_p, n = _pad_rays(o_l, d_l, self.tile_rows * LANES)
-        res = trace_rays(
-            o_p, d_p, occ16, occw3, jnp.zeros((1, 1), jnp.int32),
-            jnp.zeros((1, 128), jnp.int32), bsize=self.bsize16,
-            vpu=self.vpu, tile_rows=self.tile_rows,
-            max_bricks_per_tile=self.max_bricks,
-            fine_iters=self.fine_iters, fetch_mat=False,
-            fine_unroll=self.fine_unroll, brick=16,
-            mat_bsize=self.mat_bsize, traversal="hier3",
-            interpret=self.interpret)
+
+        def one_pass(o_in, d_in):
+            r = trace_rays(
+                o_in, d_in, occ16, occw3, jnp.zeros((1, 1), jnp.int32),
+                jnp.zeros((1, 128), jnp.int32), bsize=self.bsize16,
+                vpu=self.vpu, tile_rows=self.tile_rows,
+                max_bricks_per_tile=self.max_bricks,
+                fine_iters=self.fine_iters, fetch_mat=False,
+                fine_unroll=self.fine_unroll, brick=16,
+                mat_bsize=self.mat_bsize, traversal="hier3",
+                interpret=self.interpret)
+            return r
+
+        res = one_pass(o_p, d_p)
+        for _ in range(self.resolve_passes - 1):
+            un = ~res["resolved"]
+            o2 = jnp.where(un[:, None], o_p, 1e6)
+            d2 = jnp.where(un[:, None],
+                           d_p, jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+            r2 = one_pass(o2, d2)
+            take = un & r2["resolved"]
+            res = {k: jnp.where(take, r2[k], v) for k, v in res.items()}
         res = {k: v[:n] for k, v in res.items()}
         if blocked:
             from voxel_tracer_tpu.ops.pallas.diffint import untile_raster
