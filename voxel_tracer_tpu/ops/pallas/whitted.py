@@ -128,6 +128,13 @@ class MegaIntersector:
         self.full_tables = (mv.occ16, mv.ensure_axes())
         self.bsize16 = mv.bsize16
         self.mat_bsize = mv.tables.bsize
+        # 8^3 material words for the in-kernel tile-end vote: XLA-side
+        # dynamic gathers of the grid at 1M hit cells measured ~15 ms
+        # each; the kernel's vote resolves the same byte nearly free.
+        # The SAME table serves inverted-table traces — the hit voxel's
+        # ORIGINAL material is exactly what medium/scan semantics need
+        # (air = 0 at interior exits).
+        self.matw_j = mv.tables.matw
 
         # inverted tables per glass id present (occupied = voxel != id)
         self.glass_ids = sorted(
@@ -141,9 +148,11 @@ class MegaIntersector:
 
     # -- low-level ---------------------------------------------------------
 
-    def _trace(self, o_l, d_l, tables):
+    def _trace(self, o_l, d_l, tables, fetch=False):
         """trace_rays on (occ16, occw3) hier3 tables; returns dict with
-        t/ax/steps/resolved of the ORIGINAL (unpadded) ray count."""
+        t/ax/steps/resolved of the ORIGINAL (unpadded) ray count.
+        fetch=True resolves the hit voxel's ORIGINAL material in-kernel
+        (tile-end vote against the 8^3 matw table) as res["mat"]."""
         occ16, occw3 = tables
         blocked = (self.block is not None
                    and o_l.shape[0] == self.block[0] * self.block[1])
@@ -154,13 +163,15 @@ class MegaIntersector:
             d_l = tile_raster(d_l, h, w, th, tw)
         o_p, d_p, n = _pad_rays(o_l, d_l, self.tile_rows * LANES)
 
+        matw = self.matw_j if fetch else jnp.zeros((1, 128), jnp.int32)
+
         def one_pass(o_in, d_in):
             r = trace_rays(
                 o_in, d_in, occ16, occw3, jnp.zeros((1, 1), jnp.int32),
-                jnp.zeros((1, 128), jnp.int32), bsize=self.bsize16,
+                matw, bsize=self.bsize16,
                 vpu=self.vpu, tile_rows=self.tile_rows,
                 max_bricks_per_tile=self.max_bricks,
-                fine_iters=self.fine_iters, fetch_mat=False,
+                fine_iters=self.fine_iters, fetch_mat=fetch,
                 fine_unroll=self.fine_unroll, brick=16,
                 mat_bsize=self.mat_bsize, traversal="hier3",
                 interpret=self.interpret)
@@ -234,14 +245,11 @@ class MegaIntersector:
         return t_exit, axis
 
     def _volume_hit(self, o_l, d_l, res, obj_val=0):
-        """Kernel trace dict -> world-space HitResult (materials via one
-        grid gather at the hit cell, albedo via palette take)."""
+        """Kernel trace dict -> world-space HitResult (materials resolved
+        in-kernel by the tile-end vote, albedo via palette take)."""
         ok = (res["t"] < mega.BIG) & res["resolved"]
         t = jnp.where(ok, res["t"], BIG_F32)
-        cell, _ = self._hit_cell(o_l, d_l, res["t"], res["ax"])
-        mat = jnp.where(ok, self._gather_mat(cell), 0)
-        # boundary-rounding can land on an air cell; treat as the hit
-        # material anyway (budgeted FP edge, same class as DDA flips)
+        mat = jnp.where(ok, res["mat"], 0)
         normal = self._normal(res["ax"])
         albedo = jnp.take(self.pal_j, jnp.clip(mat, 0, 255), axis=0)
         return HitResult(
@@ -265,7 +273,7 @@ class MegaIntersector:
         else:
             o_l, d_l = self._to_local(origins, dirs)
             best = self._volume_hit(o_l, d_l, self._trace(
-                o_l, d_l, self.full_tables))
+                o_l, d_l, self.full_tables, fetch=True))
             if ignore is not None and self.glass_ids:
                 for g in self.glass_ids:
                     scan = self._scan_trace(o_l, d_l, g)
@@ -295,10 +303,9 @@ class MegaIntersector:
         (vv.cpp:328-335): pass through g-voxels until the first non-g
         voxel; if that voxel is air, the ray has "exited" and ANY solid
         voxel from there on hits (including g again)."""
-        resB = self._trace(o_l, d_l, self.inv_tables[g])
+        resB = self._trace(o_l, d_l, self.inv_tables[g], fetch=True)
         okB = (resB["t"] < mega.BIG) & resB["resolved"]
-        cellB, _ = self._hit_cell(o_l, d_l, resB["t"], resB["ax"])
-        vB = self._gather_mat(cellB)
+        vB = resB["mat"]
         solidB = okB & (vB > 0)
         air_at = okB & (vB == 0)
 
@@ -308,10 +315,9 @@ class MegaIntersector:
         # rays that already resolved don't need the second trace: park
         # them far away so the slab rejects instantly
         oC = jnp.where(air_at[:, None], oC, 1e6)
-        resC = self._trace(oC, d_l, self.full_tables)
+        resC = self._trace(oC, d_l, self.full_tables, fetch=True)
         okC = (resC["t"] < mega.BIG) & resC["resolved"]
-        cellC, _ = self._hit_cell(oC, d_l, resC["t"], resC["ax"])
-        vC = self._gather_mat(cellC)
+        vC = resC["mat"]
 
         hit = solidB | (air_at & okC)
         t = jnp.where(solidB, resB["t"],
@@ -350,11 +356,11 @@ class MegaIntersector:
         eps = jnp.float32(1e-3 / self.vpu)
 
         for _ in range(self.shadow_rounds):
-            res = self._trace(o_cur, d_l, self.full_tables)
+            res = self._trace(o_cur, d_l, self.full_tables, fetch=True)
             ok = (res["t"] < mega.BIG) & res["resolved"]
             steps = steps + jnp.where(live, res["steps"], 0)
             cell, _s = self._hit_cell(o_cur, d_l, res["t"], res["ax"])
-            v = self._gather_mat(cell)
+            v = res["mat"]
             rnd = hash_shadow(shadow_seed, cell)
             occl_now = live & ok & ((v > 16) | (rnd > 0.85))
             hit_t = jnp.where(occl_now, t_base + res["t"], hit_t)
@@ -378,12 +384,13 @@ class MegaIntersector:
 
         ok_any = hit_t < BIG_F32
         normal = self._normal(hit_ax)
-        albedo = jnp.take(self.pal_j, jnp.clip(hit_mat, 0, 255), axis=0)
+        # albedo of an occluder is never read by the shader — skip the
+        # palette gather
         return HitResult(
             t=hit_t,
             mat=jnp.where(ok_any, hit_mat, 0),
             normal=jnp.where(ok_any[:, None], normal, 0.0),
-            albedo=jnp.where(ok_any[:, None], albedo, 0.0),
+            albedo=jnp.zeros((n, 3), jnp.float32),
             steps=steps,
             obj=jnp.where(ok_any, 0, -1),
         )
@@ -415,17 +422,18 @@ class MegaIntersector:
         steps = jnp.zeros((n,), jnp.int32)
         for g in self.glass_ids:
             sel = medium == g
-            res = self._trace(o_l, d_l, self.inv_tables[g])
+            res = self._trace(o_l, d_l, self.inv_tables[g], fetch=True)
             ok = (res["t"] < mega.BIG) & res["resolved"]
-            cell, _ = self._hit_cell(o_l, d_l, res["t"], res["ax"])
-            v = self._gather_mat(cell)
+            v = res["mat"]
             g_normal = self._normal(res["ax"])
             t = jnp.where(sel & ok, res["t"], t)
             mat = jnp.where(sel & ok, v, mat)
             normal = jnp.where((sel & ok)[:, None], g_normal, normal)
             steps = steps + jnp.where(sel, res["steps"], 0)
 
-        albedo = jnp.take(self.pal_j, jnp.clip(mat, 0, 255), axis=0)
+        # interior-exit albedo is never read (Beer absorption uses the
+        # ENTRY surface albedo) — skip the palette gather
+        albedo = jnp.zeros((n, 3), jnp.float32)
         return HitResult(t=t, mat=mat, normal=normal, albedo=albedo,
                          steps=steps, obj=obj)
 
@@ -458,9 +466,9 @@ def primary_hit_mega(isect: MegaIntersector, camera, width, height, *,
     cam_p = mega.mega_camera(mv, camera, sd, width, height)
     _rgba, t, aux = mega.render_mega_tiles(
         cam_p, mv.occ16, isect.full_tables[1], jnp.zeros((1, 1), jnp.int32),
-        jnp.zeros((1, 128), jnp.int32), mv.pal, bsize=isect.bsize16,
+        isect.matw_j, mv.pal, bsize=isect.bsize16,
         vpu=isect.vpu, width=wp, height=hp, tile_rows=tile_rows,
-        tile_w=tile_w, sky_mode="none", shading="trace", fetch_mat=False,
+        tile_w=tile_w, sky_mode="none", shading="trace", fetch_mat=True,
         fine_iters=isect.fine_iters, fine_unroll=isect.fine_unroll,
         track_steps=True, brick=16, mat_bsize=isect.mat_bsize,
         traversal="hier3", interpret=isect.interpret)
@@ -481,9 +489,7 @@ def primary_hit_mega(isect: MegaIntersector, camera, width, height, *,
     ax = (aux >> mega.AUX_AX_SHIFT) & 7
     resolved = ((aux >> mega.AUX_RESOLVED_SHIFT) & 1).astype(bool)
     ok = (t < mega.BIG) & resolved
-    o_l, d_l = isect._to_local(origins, dirs)
-    cell, _ = isect._hit_cell(o_l, d_l, t, ax)
-    mat = jnp.where(ok, isect._gather_mat(cell), 0)
+    mat = jnp.where(ok, aux & 255, 0)   # in-kernel vote-resolved
     normal = isect._normal(ax)
     albedo = jnp.take(isect.pal_j, jnp.clip(mat, 0, 255), axis=0)
     hit = HitResult(
