@@ -122,6 +122,27 @@ def test_whitted_accumulate_reduces_variance(setup):
     assert d_acc < d_raw * 0.5, (d_acc, d_raw)
 
 
+def test_whitted_renderer_state_machine(setup):
+    """WhittedMegaRenderer carries accu/prev_planes across frames and
+    wraps the frame counter (the kernel-backed Renderer sibling)."""
+    from voxel_tracer_tpu.ops.pallas.whitted import WhittedMegaRenderer
+    from voxel_tracer_tpu.renderer import RenderConfig
+
+    sd, cam, _config, isect = setup
+    cfg = RenderConfig(width=W, height=H, shading="full", max_bounces=3,
+                       glass_reflections=2, accumulate=True)
+    r = WhittedMegaRenderer(isect, sd, cfg)
+    out1 = r.render(cam)
+    assert "accu" in out1 and r.frame == 1
+    out2 = r.render(cam)
+    assert np.isfinite(np.asarray(out2["image"])).all()
+    # history carried: second frame's accu differs from the first
+    assert not np.array_equal(np.asarray(out1["accu"]),
+                              np.asarray(out2["accu"]))
+    r.reset_history()
+    assert r._accu is None
+
+
 def test_lambert_mega_accumulate_fixed_point():
     """Deterministic lambert frames are identical, so blending 95%
     history must be a fixed point: accumulated irradiance == raw

@@ -503,6 +503,47 @@ def primary_hit_mega(isect: MegaIntersector, camera, width, height, *,
     return hit, origins, dirs
 
 
+class WhittedMegaRenderer:
+    """Stateful convenience wrapper (the kernel-backed sibling of
+    `renderer.Renderer`): owns the frame counter and, with
+    ``config.accumulate``, carries the temporal accumulator + previous
+    view pyramid across frames (renderer.cpp:240-244, camera.cpp:3-16)."""
+
+    def __init__(self, isect: MegaIntersector, scene, config):
+        self.isect = isect
+        self.scene = scene
+        self.config = config
+        self.frame = 0
+        self._accu = None
+        self._prev_planes = None
+
+    def reset_history(self):
+        self._accu = None
+        self._prev_planes = None
+
+    def render(self, camera, depth_delta: float = 0.0):
+        cfg = self.config
+        frame = self.frame
+        self.frame = (self.frame + 1) % 120      # renderer.cpp:161-162
+        if not cfg.accumulate:
+            return render_whitted_mega(
+                self.isect, self.scene, camera, cfg.width, cfg.height,
+                frame, config=cfg)
+        if self._accu is None:
+            h, w = cfg.height, cfg.width
+            self._accu = jnp.concatenate(
+                [jnp.zeros((h, w, 3), jnp.float32),
+                 jnp.full((h, w, 1), BIG_F32, jnp.float32)], axis=-1)
+            self._prev_planes = camera.planes
+        out = render_whitted_mega(
+            self.isect, self.scene, camera, cfg.width, cfg.height, frame,
+            config=cfg, prev_accu=self._accu,
+            prev_planes=self._prev_planes, depth_delta=depth_delta)
+        self._accu = out["accu"]
+        self._prev_planes = camera.planes        # Camera::tick save
+        return out
+
+
 def render_whitted_mega(isect: MegaIntersector, scene, camera, width,
                         height, frame, *, config=None, tile_rows=8,
                         tile_w=32, prev_accu=None, prev_planes=None,
