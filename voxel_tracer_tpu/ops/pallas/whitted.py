@@ -84,7 +84,8 @@ class MegaIntersector:
 
     def __init__(self, mv: mega.MegaVolume, *, tile_rows=8, fine_iters=48,
                  fine_unroll=4, max_bricks_per_tile=64, shadow_rounds=4,
-                 block_hw=None, resolve_passes=2, interpret=False):
+                 block_hw=None, resolve_passes=2, compact=False,
+                 list_tile_rows=None, interpret=False):
         self.mv = mv
         vol = mv.volume
         self.grid_j = jnp.asarray(vol.grid.astype(np.int32))
@@ -96,6 +97,12 @@ class MegaIntersector:
         self.gsize = jnp.asarray(np.array([gx, gy, gz], np.int32))
         self.rot, self.pos, self.pivot = mv.rot, mv.pos, mv.pivot
         self.tile_rows = tile_rows
+        # Compacted/scattered ray lists converge per-tile: a 16384-ray
+        # tile (tile_rows=128, right for blocked full-frame lists) makes
+        # every lane march until the tile's slowest ray finishes.  Short
+        # incoherent lists want small tiles.
+        self.list_tile_rows = (tile_rows if list_tile_rows is None
+                               else list_tile_rows)
         self.fine_iters = fine_iters
         self.fine_unroll = fine_unroll
         self.max_bricks = max_bricks_per_tile
@@ -108,6 +115,10 @@ class MegaIntersector:
         # incoherent rays unresolved, 3 leave ~none.  Unresolved rays
         # degrade to miss/unoccluded (a light leak, never a false hit).
         self.resolve_passes = resolve_passes
+        # Compact the still-live shadow-ray set between stochastic
+        # rounds (rounds >= 2 process only rays that transmitted through
+        # a glass/mirror voxel — a few percent of the list).
+        self.compact = compact
         self.interpret = interpret
         # Square-block ray ordering (same trick as the lambert pipeline's
         # shadow_block): when a ray list is a full H x W wavefront in
@@ -146,6 +157,51 @@ class MegaIntersector:
             assert bs == self.bsize16
             self.inv_tables[g] = (occ16, pack_mega16_axes(inv))
 
+    # -- dynamic state ------------------------------------------------------
+
+    def set_voxel(self, x, y, z, val):
+        """O(1) dynamic edit across every packed kernel table
+        (vv.cpp:377-432 / Enemy::process_hit carving): updates the
+        MegaVolume device tables and re-points this intersector's
+        handles.  Glass inverted tables are re-packed only when the
+        volume actually carries glass ids (drones don't)."""
+        self.mv.set_voxel(x, y, z, val)
+        self.full_tables = (self.mv.occ16, self.mv.ensure_axes())
+        self.matw_j = self.mv.tables.matw
+        self.grid_j = self.grid_j.at[z, y, x].set(jnp.int32(val))
+        self._repack_inv()
+
+    def refresh_tables(self):
+        """Re-point the handles after a bulk `mv.refresh()` (model
+        reload on enemy respawn, enemy.cpp:60-63).  Table shapes are
+        unchanged, so jitted frames taking `table_state()` as arguments
+        never retrace."""
+        self.full_tables = (self.mv.occ16, self.mv.ensure_axes())
+        self.matw_j = self.mv.tables.matw
+        self.grid_j = jnp.asarray(
+            self.mv.volume.grid.astype(np.int32))
+        self._repack_inv()
+
+    def _repack_inv(self):
+        for g in self.glass_ids:
+            inv = (np.asarray(self.mv.volume.grid) != g).astype(np.uint8)
+            occ16, _occw16, _bs = pack_mega16(inv)
+            self.inv_tables[g] = (occ16, pack_mega16_axes(inv))
+
+    def table_state(self):
+        """The per-frame-dynamic device arrays (for passing as traced
+        jit arguments so edits don't retrace)."""
+        return (self.full_tables[0], self.full_tables[1], self.matw_j,
+                self.grid_j)
+
+    def with_table_state(self, st):
+        import copy
+        v2 = copy.copy(self)
+        v2.full_tables = (st[0], st[1])
+        v2.matw_j = st[2]
+        v2.grid_j = st[3]
+        return v2
+
     # -- low-level ---------------------------------------------------------
 
     def _trace(self, o_l, d_l, tables, fetch=False):
@@ -161,7 +217,8 @@ class MegaIntersector:
             h, w, th, tw = self.block
             o_l = tile_raster(o_l, h, w, th, tw)
             d_l = tile_raster(d_l, h, w, th, tw)
-        o_p, d_p, n = _pad_rays(o_l, d_l, self.tile_rows * LANES)
+        tr = self.tile_rows if blocked else self.list_tile_rows
+        o_p, d_p, n = _pad_rays(o_l, d_l, tr * LANES)
 
         matw = self.matw_j if fetch else jnp.zeros((1, 128), jnp.int32)
 
@@ -169,7 +226,7 @@ class MegaIntersector:
             r = trace_rays(
                 o_in, d_in, occ16, occw3, jnp.zeros((1, 1), jnp.int32),
                 matw, bsize=self.bsize16,
-                vpu=self.vpu, tile_rows=self.tile_rows,
+                vpu=self.vpu, tile_rows=tr,
                 max_bricks_per_tile=self.max_bricks,
                 fine_iters=self.fine_iters, fetch_mat=fetch,
                 fine_unroll=self.fine_unroll, brick=16,
@@ -346,16 +403,64 @@ class MegaIntersector:
         voxel, and glass walls in the test scenes are thin)."""
         o_l, d_l = self._to_local(origins, dirs)
         n = o_l.shape[0]
-        live = jnp.ones((n,), bool)
-        t_base = jnp.zeros((n,), jnp.float32)
-        hit_t = jnp.full((n,), BIG_F32, jnp.float32)
-        hit_mat = jnp.zeros((n,), jnp.int32)
-        hit_ax = jnp.zeros((n,), jnp.int32)
-        steps = jnp.zeros((n,), jnp.int32)
-        o_cur = o_l
-        eps = jnp.float32(1e-3 / self.vpu)
+        shadow_seed = jnp.broadcast_to(
+            jnp.asarray(shadow_seed, jnp.uint32), (n,))
+        state0 = (o_l, d_l, shadow_seed,
+                  jnp.ones((n,), bool),                     # live
+                  jnp.zeros((n,), jnp.float32),             # t_base
+                  jnp.full((n,), BIG_F32, jnp.float32),     # hit_t
+                  jnp.zeros((n,), jnp.int32),               # hit_mat
+                  jnp.zeros((n,), jnp.int32),               # hit_ax
+                  jnp.zeros((n,), jnp.int32))               # steps
 
-        for _ in range(self.shadow_rounds):
+        if self.compact and self.shadow_rounds > 1 and n >= 4 * 16384:
+            from voxel_tracer_tpu.ops.compact import (bucket_caps,
+                                                      masked_apply)
+            st = self._shadow_rounds(state0, 1)
+            o_c, d_c, sd_c, live, t_base, hit_t, hit_mat, hit_ax, steps = st
+
+            def tail(lv, _idx, *gathered):
+                o_g, d_g, sd_g, tb_g, ht_g, hm_g, ha_g, st_g = gathered
+                o_p = jnp.where(lv[:, None], o_g, 1e6)
+                d_p = jnp.where(lv[:, None], d_g,
+                                jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+                r = self._shadow_rounds(
+                    (o_p, d_p, sd_g, lv, tb_g, ht_g, hm_g, ha_g, st_g),
+                    self.shadow_rounds - 1)
+                return r[5], r[6], r[7], r[8]
+
+            hit_t, hit_mat, hit_ax, steps = masked_apply(
+                live, tail,
+                (o_c, d_c, sd_c, t_base, hit_t, hit_mat, hit_ax, steps),
+                (hit_t, hit_mat, hit_ax, steps),
+                bucket_caps(n, (1 / 16, 1 / 4)))
+        else:
+            st = self._shadow_rounds(state0, self.shadow_rounds)
+            hit_t, hit_mat, hit_ax, steps = st[5], st[6], st[7], st[8]
+
+        ok_any = hit_t < BIG_F32
+        normal = self._normal(hit_ax)
+        # albedo of an occluder is never read by the shader — skip the
+        # palette gather
+        return HitResult(
+            t=hit_t,
+            mat=jnp.where(ok_any, hit_mat, 0),
+            normal=jnp.where(ok_any[:, None], normal, 0.0),
+            albedo=jnp.zeros((n, 3), jnp.float32),
+            steps=steps,
+            obj=jnp.where(ok_any, 0, -1),
+        )
+
+    def _shadow_rounds(self, state, rounds):
+        """Run ``rounds`` stochastic-shadow rounds from ``state``
+        (see `_shadow_trace`); each round advances live rays exactly one
+        solid voxel.  Pure function of its state tuple so `_shadow_trace`
+        can compact the still-live set between rounds."""
+        o_cur, d_l, shadow_seed, live, t_base, hit_t, hit_mat, hit_ax, \
+            steps = state
+        n = o_cur.shape[0]
+        eps = jnp.float32(1e-3 / self.vpu)
+        for _ in range(rounds):
             res = self._trace(o_cur, d_l, self.full_tables, fetch=True)
             ok = (res["t"] < mega.BIG) & res["resolved"]
             steps = steps + jnp.where(live, res["steps"], 0)
@@ -381,19 +486,8 @@ class MegaIntersector:
                               jnp.full((n, 3), 1e6, jnp.float32))
             t_base = t_base + jnp.where(cont, adv, 0.0)
             live = cont
-
-        ok_any = hit_t < BIG_F32
-        normal = self._normal(hit_ax)
-        # albedo of an occluder is never read by the shader — skip the
-        # palette gather
-        return HitResult(
-            t=hit_t,
-            mat=jnp.where(ok_any, hit_mat, 0),
-            normal=jnp.where(ok_any[:, None], normal, 0.0),
-            albedo=jnp.zeros((n, 3), jnp.float32),
-            steps=steps,
-            obj=jnp.where(ok_any, 0, -1),
-        )
+        return (o_cur, d_l, shadow_seed, live, t_base, hit_t, hit_mat,
+                hit_ax, steps)
 
     def march_interior(self, scene, obj, origins, dirs, medium,
                        max_steps=None) -> HitResult:

@@ -84,8 +84,12 @@ def ambient_light(scene: SceneData, p, n, r2pair, max_candidates=4,
 
 
 def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
-                  shadow_seed=None, isect=composite):
-    """Monte-Carlo spherical area lights (sphere-light.cpp:8-37)."""
+                  shadow_seed=None, isect=composite, live=None):
+    """Monte-Carlo spherical area lights (sphere-light.cpp:8-37).
+
+    ``live`` (optional bool mask) parks dead rows' shadow rays: the
+    shadow ray starts at the LIGHT's sampled point, so a parked surface
+    point alone doesn't stop the traversal from doing real work."""
     lights = scene.lights
     num = lights.origin.shape[0]
     total = jnp.zeros_like(p)
@@ -103,8 +107,13 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
         facing = incidence > 0.0
         # shadow ray from the sampled light point back toward the surface
         # (sphere-light.cpp:20-24); sample_point is already per-ray (N, 3)
+        so, sdd = sample_point, -sdir
+        if live is not None:
+            so = jnp.where(live[:, None], so, 1e6)
+            sdd = jnp.where(live[:, None], sdd,
+                            jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
         occluded, _ = isect.is_occluded(
-            scene, sample_point, -sdir,
+            scene, so, sdd,
             dist - 0.01, max_candidates, shadow_seed=shadow_seed)
         pdf = FOURPI * diameter
         intensity = lights.power[li] / (FOURPI * jnp.maximum(dist_sqr, 1e-12))
@@ -115,13 +124,13 @@ def sphere_lights(scene: SceneData, p, n, sample3, max_candidates=4,
 
 
 def diffuse_irradiance(scene, p, n, noise3, noise2, config, shadow_seed=None,
-                       isect=composite):
+                       isect=composite, live=None):
     """Sphere lights + sun + ambient (materials.cpp:194-221)."""
     irr = jnp.zeros_like(p)
     salt = None if shadow_seed is None else shadow_seed
     if scene.lights.origin.shape[0] > 0:
         irr = irr + sphere_lights(scene, p, n, noise3, config.max_candidates,
-                                  shadow_seed=salt, isect=isect)
+                                  shadow_seed=salt, isect=isect, live=live)
     irr = irr + sun_light(scene, p, n, noise3, config.max_candidates,
                           shadow_seed=None if salt is None
                           else salt ^ jnp.uint32(0xA511E9B3), isect=isect)
@@ -278,15 +287,82 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config,
     the stochastic glass pass-through (vv.cpp:314-327) seeded per
     (ray, frame, bounce).  The glass sub-loop runs under `lax.cond` so
     scenes without glass pixels skip its cost at runtime.
-    """
-    from voxel_tracer_tpu.ops.noise import sampler_3d, sampler_2d
 
+    Live-ray compaction (config.compact): the WHOLE body first compacts
+    to the rays that hit anything (miss pixels take the sky in
+    render_rays and need no shading at all — a few % of a frame may
+    survive), then each heavy stage inside — diffuse light queries, the
+    glass sub-loop, the continuation trace — re-compacts to its own
+    masked subset at the already-small size, where index construction
+    is nearly free (the single full-size compaction is the only ~5 ms
+    harness cost; see tools/probe_idx.py).  Per-row math is unchanged —
+    noise/seed streams key on each ray's ORIGINAL index — so results
+    are bit-equal on per-ray-independent backends.
+    """
     n = origins.shape[0]
-    noise3 = sampler_3d(n, frame)
-    noise2 = sampler_2d(n, frame)
-    ray_seed = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    use_compact = bool(getattr(config, "compact", False))
+    full_idx = jnp.arange(n, dtype=jnp.int32)
+    if not use_compact:
+        return _shade_full_body(scene, origins, dirs, hit, frame, config,
+                                isect, full_idx)
+
+    from voxel_tracer_tpu.ops.compact import bucket_caps, masked_apply
+
+    caps = bucket_caps(n, getattr(config, "compact_fracs",
+                                  (1 / 64, 1 / 16, 1 / 2)))
+    unit_z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    mask0 = hit.t < BIG_F32
+
+    def fn(lv, idx, o_g, d_g, t_g, nrm_g, mat_g, alb_g, obj_g):
+        o_p = jnp.where(lv[:, None], o_g, 1e6)
+        d_p = jnp.where(lv[:, None], d_g, unit_z)
+        hit_g = composite.HitResult(
+            t=jnp.where(lv, t_g, BIG_F32), mat=mat_g, normal=nrm_g,
+            albedo=alb_g, steps=jnp.zeros_like(mat_g), obj=obj_g)
+        return _shade_full_body(scene, o_p, d_p, hit_g, frame, config,
+                                isect, idx)
+
+    return masked_apply(
+        mask0, fn,
+        (origins, dirs, hit.t, hit.normal, hit.mat, hit.albedo, hit.obj),
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32)),
+        caps)
+
+
+def _shade_full_body(scene, origins, dirs, hit, frame, config, isect,
+                     ray_idx):
+    """shade_full's bounce loop at any wavefront size; ``ray_idx`` maps
+    each row to its ORIGINAL ray index (n-sentinel on padding rows) so
+    noise/seed streams are invariant under compaction."""
+    n = origins.shape[0]
+    use_compact = bool(getattr(config, "compact", False))
+    if use_compact:
+        from voxel_tracer_tpu.ops.compact import bucket_caps, masked_apply
+        caps = bucket_caps(n, getattr(config, "compact_fracs",
+                                      (1 / 64, 1 / 16, 1 / 2)))
+    unit_z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    from voxel_tracer_tpu.ops.noise import _TEX_SIZE, sample_2d, sample_3d
+
+    def gidx(idx):
+        # local row -> original ray index (padding rows are don't-care)
+        return jnp.take(ray_idx, idx, mode="clip")
+
+    def noise3_at(idx):
+        return sample_3d(idx % _TEX_SIZE, idx // _TEX_SIZE, frame)
+
+    def noise2_at(idx):
+        return sample_2d(idx % _TEX_SIZE, idx // _TEX_SIZE, frame)
+
+    def seed_at(idx, bounce):
+        return (idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
                 + jnp.asarray(frame).astype(jnp.uint32)
-                * jnp.uint32(2654435761))
+                * jnp.uint32(2654435761)) \
+            ^ jnp.uint32((0x85EBCA77 * (bounce + 1)) & 0xFFFFFFFF)
+
+    if not use_compact:
+        # full-wavefront samples, computed once for every bounce
+        noise3 = noise3_at(ray_idx)
+        noise2 = noise2_at(ray_idx)
 
     albedo_out = jnp.zeros((n, 3), jnp.float32)
     irr_out = jnp.zeros((n, 3), jnp.float32)
@@ -306,10 +382,24 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config,
         p = hit_point(cur_o, cur_d, cur_hit.t, cur_hit.normal)
 
         # --- diffuse terminate ---------------------------------------------
-        bounce_seed = ray_seed ^ jnp.uint32((0x85EBCA77 * (bounce + 1))
-                                            & 0xFFFFFFFF)
-        irr = diffuse_irradiance(scene, p, cur_hit.normal, noise3, noise2,
-                                 config, shadow_seed=bounce_seed, isect=isect)
+        if use_compact:
+            def _diff_fn(lv, idx, p_g, nrm_g):
+                gi = gidx(idx)
+                p_p = jnp.where(lv[:, None], p_g, 1e6)
+                nrm_p = jnp.where(lv[:, None], nrm_g, unit_z)
+                return diffuse_irradiance(
+                    scene, p_p, nrm_p, noise3_at(gi), noise2_at(gi),
+                    config, shadow_seed=seed_at(gi, bounce), isect=isect,
+                    live=lv)
+
+            irr = masked_apply(
+                is_diffuse, _diff_fn, (p, cur_hit.normal),
+                jnp.zeros((n, 3), jnp.float32), caps)
+        else:
+            irr = diffuse_irradiance(scene, p, cur_hit.normal, noise3,
+                                     noise2, config,
+                                     shadow_seed=seed_at(ray_idx, bounce),
+                                     isect=isect)
         albedo_out = albedo_out + jnp.where(
             is_diffuse[:, None], thr_a * cur_hit.albedo, 0.0)
         irr_out = irr_out + jnp.where(is_diffuse[:, None], thr_i * irr, 0.0)
@@ -330,11 +420,27 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config,
         # --- glass sub-loop, skipped at runtime when no glass pixel exists --
         def _glass(args):
             o, d, h_t, h_normal, h_mat, h_albedo, h_obj, g_mask = args
-            ghit = composite.HitResult(
-                t=h_t, mat=h_mat, normal=h_normal, albedo=h_albedo,
-                steps=jnp.zeros_like(h_mat), obj=h_obj)
-            return eval_glass_wavefront(scene, o, d, ghit, g_mask, config,
-                                        isect=isect)
+
+            def run(lv, _idx, o_g, d_g, t_g, nrm_g, mat_g, alb_g, obj_g):
+                o_p = jnp.where(lv[:, None], o_g, 1e6)
+                d_p = jnp.where(lv[:, None], d_g, unit_z)
+                ghit = composite.HitResult(
+                    t=t_g, mat=mat_g, normal=nrm_g, albedo=alb_g,
+                    steps=jnp.zeros_like(mat_g), obj=obj_g)
+                return eval_glass_wavefront(scene, o_p, d_p, ghit, lv,
+                                            config, isect=isect)
+
+            if not use_compact:
+                return run(g_mask, None, o, d, h_t, h_normal, h_mat,
+                           h_albedo, h_obj)
+            out_fill = (o, d, jnp.ones((n, 3), jnp.float32),
+                        jnp.zeros((n,), bool),
+                        jnp.zeros((n, 3), jnp.float32),
+                        jnp.zeros((n, 3), jnp.float32))
+            return masked_apply(
+                g_mask, run,
+                (o, d, h_t, h_normal, h_mat, h_albedo, h_obj),
+                out_fill, caps)
 
         def _no_glass(args):
             o, d, h_t, h_normal, h_mat, h_albedo, h_obj, g_mask = args
@@ -363,14 +469,49 @@ def shade_full(scene: SceneData, origins, dirs, hit, frame, config,
         # scan rays ignore their own medium until they see air
         ign = jnp.where(is_glass, cur_hit.mat, 0)
         cur_o, cur_d = next_o, next_d
-        cur_hit = isect.intersect_scene(
-            scene, cur_o, cur_d, config.max_candidates, config.max_steps,
-            ignore=ign)
-        sky = sample_sky(scene.sky, cur_d)
-        missed = cur_hit.t >= BIG_F32
-        albedo_out = albedo_out + jnp.where(
-            (live & missed)[:, None], thr_a * sky, 0.0)
-        irr_out = irr_out + jnp.where((live & missed)[:, None], thr_i, 0.0)
-        live = live & ~missed
+        if use_compact:
+            # the continuation's sky term rides inside the compacted fn
+            # too (full-size procedural-sky sampling measures ~9 ms at
+            # 1M rays, tools/probe_micro.py)
+            def _cont_fn(lv, _idx, o_g, d_g, ign_g, ta_g, ti_g):
+                o_p = jnp.where(lv[:, None], o_g, 1e6)
+                d_p = jnp.where(lv[:, None], d_g, unit_z)
+                h = isect.intersect_scene(
+                    scene, o_p, d_p, config.max_candidates,
+                    config.max_steps, ignore=ign_g)
+                sky_g = sample_sky(scene.sky, d_p)
+                m_g = (lv & (h.t >= BIG_F32))[:, None]
+                return (h.t, h.mat, h.normal, h.albedo, h.steps, h.obj,
+                        jnp.where(m_g, ta_g * sky_g, 0.0),
+                        jnp.where(m_g, ti_g, 0.0))
+
+            miss_fill = (jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32),
+                         jnp.zeros((n, 3), jnp.float32),
+                         jnp.zeros((n, 3), jnp.float32),
+                         jnp.zeros((n,), jnp.int32),
+                         jnp.full((n,), -1, jnp.int32),
+                         jnp.zeros((n, 3), jnp.float32),
+                         jnp.zeros((n, 3), jnp.float32))
+            h_t, h_mat, h_nrm, h_alb, h_st, h_obj, sky_alb, sky_irr = \
+                masked_apply(live, _cont_fn,
+                             (cur_o, cur_d, ign, thr_a, thr_i), miss_fill,
+                             caps)
+            cur_hit = composite.HitResult(
+                t=h_t, mat=h_mat, normal=h_nrm, albedo=h_alb, steps=h_st,
+                obj=h_obj)
+            albedo_out = albedo_out + sky_alb
+            irr_out = irr_out + sky_irr
+            live = live & (cur_hit.t < BIG_F32)
+        else:
+            cur_hit = isect.intersect_scene(
+                scene, cur_o, cur_d, config.max_candidates,
+                config.max_steps, ignore=ign)
+            sky = sample_sky(scene.sky, cur_d)
+            missed = cur_hit.t >= BIG_F32
+            albedo_out = albedo_out + jnp.where(
+                (live & missed)[:, None], thr_a * sky, 0.0)
+            irr_out = irr_out + jnp.where(
+                (live & missed)[:, None], thr_i, 0.0)
+            live = live & ~missed
 
     return albedo_out, irr_out

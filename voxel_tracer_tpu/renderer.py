@@ -39,6 +39,10 @@ class RenderConfig:
     tonemapper: str = "aces"     # aces | reinhard | uncharted2 | none
     ambient: float = 0.2         # flat ambient for lambert mode
     accumulate: bool = False     # temporal reprojection (renderer.cpp:273)
+    compact: bool = False        # live-ray compaction in shade_full: run
+                                 # each heavy stage on a dense gather of
+                                 # its live subset (ops/compact.py)
+    compact_fracs: tuple = (1 / 64, 1 / 16, 1 / 2)  # capacity buckets
 
     @property
     def aspect(self) -> float:
