@@ -89,6 +89,21 @@ def unpack_rows(rows, shape_zyx):
 # Kernel factory
 # ---------------------------------------------------------------------------
 
+def occ_words(sig_rows):
+    """Bit-packed brick occupancy from packed sigma rows: bit b of word
+    b>>5 set iff brick b holds any sigma > 0 (the voxcnt analog,
+    vv.h:23-38).  Computed in XLA per call so dynamic sigma updates are
+    free; fed to the kernel as SMEM scalars."""
+    nb = sig_rows.shape[0] // 4
+    occ = (sig_rows.reshape(nb, 4 * LANES).max(axis=1) > 0.0)
+    nw = -(-nb // 32)
+    occ = jnp.concatenate(
+        [occ, jnp.zeros((nw * 32 - nb,), bool)]).reshape(nw, 32)
+    bits = occ.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)[None]
+    return jax.lax.bitcast_convert_type(
+        bits.sum(axis=1, dtype=jnp.uint32), jnp.int32)
+
+
 def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
                  t_eps=0.0, mode="fwd"):
     """mode: 'fwd' (outputs per-ray color/trans/depth/flags) or 'bwd'
@@ -102,12 +117,12 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
 
     def kernel(*refs):
         if mode == "fwd":
-            (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+            (quad_ref, occw_ref, oxr, oyr, ozr, dxr, dyr, dzr,
              tin_r, crin_r, cgin_r, cbin_r, din_r,
              sig_ref, a0_ref, a1_ref, a2_ref,
              cr_ref, cg_ref, cb_ref, tr_ref, dp_ref, fl_ref) = refs
         else:
-            (quad_ref, oxr, oyr, ozr, dxr, dyr, dzr,
+            (quad_ref, occw_ref, oxr, oyr, ozr, dxr, dyr, dzr,
              tin_r, crin_r, cgin_r, cbin_r, din_r,
              sig_ref, a0_ref, a1_ref, a2_ref,
              gcr_r, gcg_r, gcb_r, gt_r, gd_r,
@@ -267,6 +282,11 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
                         tn = jnp.maximum(tn, jnp.minimum(t1_, t2_))
                         tf = jnp.minimum(tf, jnp.maximum(t1_, t2_))
                     cross = (tf > tn) & in_slice & (T > t_eps)
+                    # empty-brick skip (vv.cpp:150-203's occupancy idea):
+                    # a brick with sigma <= 0 everywhere contributes no
+                    # absorption, no emission, and (exactly) no gradient
+                    # — don't march its 8^3 cells
+                    occ_b = (occw_ref[bidx >> 5] >> (bidx & 31)) & 1
 
                     def fine(carry3):
                         T, Cr, Cg, Cb, D = carry3
@@ -420,8 +440,9 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
                                 da2_ref[base + r, :] += acc[4 * r + 3, :]
                         return (st["T"], st["Cr"], st["Cg"], st["Cb"], st["D"])
 
-                    return jax.lax.cond(jnp.any(cross), fine,
-                                        lambda c: c, (T, Cr, Cg, Cb, D))
+                    return jax.lax.cond(jnp.any(cross) & (occ_b > 0),
+                                        fine, lambda c: c,
+                                        (T, Cr, Cg, Cb, D))
 
                 n_rect = n_u * n_v
                 T, Cr, Cg, Cb, D = jax.lax.fori_loop(
@@ -466,8 +487,8 @@ def _ray_blocks(n_tiles, tile_rows):
 @functools.partial(
     jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
                               "fine_unroll", "t_eps", "interpret"))
-def integrate_fwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, *,
-                        bsize, vpu, tile_rows=8, fine_iters=24,
+def integrate_fwd_tiles(quad, occw, rays6, carry5, sig_rows, a0, a1, a2,
+                        *, bsize, vpu, tile_rows=8, fine_iters=24,
                         fine_unroll=4, t_eps=0.0, interpret=False):
     """quad: (1,) i32 dz class (0 = all rays, +-1 = only that dz sign —
     used by the slab sequencer).  rays6: 6 arrays (rows, 128) local o/d.
@@ -484,22 +505,23 @@ def integrate_fwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, *,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 11
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [blk] * 11
         + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)],
         out_specs=[blk] * 6,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 5
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
         interpret=interpret,
-    )(quad, *rays6, *carry5, sig_rows, a0, a1, a2)
+    )(quad, occw, *rays6, *carry5, sig_rows, a0, a1, a2)
     return outs
 
 
 @functools.partial(
     jax.jit, static_argnames=("bsize", "vpu", "tile_rows", "fine_iters",
                               "fine_unroll", "t_eps", "interpret"))
-def integrate_bwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, cts,
-                        totals, *, bsize, vpu, tile_rows=8, fine_iters=24,
-                        fine_unroll=4, t_eps=0.0, interpret=False):
+def integrate_bwd_tiles(quad, occw, rays6, carry5, sig_rows, a0, a1, a2,
+                        cts, totals, *, bsize, vpu, tile_rows=8,
+                        fine_iters=24, fine_unroll=4, t_eps=0.0,
+                        interpret=False):
     """carry5: the march state that ENTERED this (sub)volume in forward
     order (replay prefix init).  cts: (gCr, gCg, gCb, gT, gD); totals:
     full-path (Cr, Cg, Cb, T_final, D_total).  Returns
@@ -516,13 +538,13 @@ def integrate_bwd_tiles(quad, rays6, carry5, sig_rows, a0, a1, a2, cts,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 11
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [blk] * 11
         + [tbl(sig_rows), tbl(a0), tbl(a1), tbl(a2)] + [blk] * 10,
         out_specs=[tbl(sig_rows)] * 4,
         out_shape=[tshape] * 4,
         scratch_shapes=[pltpu.VMEM((16, LANES), jnp.float32)],
         interpret=interpret,
-    )(quad, *rays6, *carry5, sig_rows, a0, a1, a2, *cts, *totals)
+    )(quad, occw, *rays6, *carry5, sig_rows, a0, a1, a2, *cts, *totals)
     return outs
 
 
@@ -601,7 +623,8 @@ def _rdm_fwd(sigma, albedo, origin_l, dir_l, vpu, tile_rows, t_eps,
     rays6, n, rows = _tile_rays(origin_l, dir_l, tile_rows)
     quad = jnp.zeros((1,), jnp.int32)
     cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
-        quad, rays6, _init_carry(rows), *tables, bsize=bsize,
+        quad, occ_words(tables[0]), rays6, _init_carry(rows), *tables,
+        bsize=bsize,
         vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
         interpret=interpret)
 
@@ -632,7 +655,8 @@ def _rdm_bwd(vpu, tile_rows, t_eps, interpret, saved, g):
            tile_ct(g["trans"]), tile_ct(g["depth"]))
     quad = jnp.zeros((1,), jnp.int32)
     ds, da0, da1, da2 = integrate_bwd_tiles(
-        quad, rays6, _init_carry(rows), *tables, cts, totals_t,
+        quad, occ_words(tables[0]), rays6, _init_carry(rows), *tables,
+        cts, totals_t,
         bsize=bsize, vpu=float(vpu), tile_rows=tile_rows, t_eps=t_eps,
         interpret=interpret)
     d_sigma = unpack_rows(ds, sigma.shape)
@@ -682,7 +706,8 @@ def _rds_fwd(sigma, albedo, origin_l, dir_l, vpu, n_slabs, tile_rows,
             r6 = rays6[:2] + (oz_s,) + rays6[3:]
             tb = tuple(t[s * rows_per:(s + 1) * rows_per] for t in tables)
             cr, cg, cb, tr, dp, fl = integrate_fwd_tiles(
-                quad, r6, state, *tb, bsize=sub_bsize, vpu=float(vpu),
+                quad, occ_words(tb[0]), r6, state, *tb, bsize=sub_bsize,
+                vpu=float(vpu),
                 tile_rows=tile_rows, t_eps=t_eps, interpret=interpret)
             state = (tr, cr, cg, cb, dp)
             flags_all = flags_all | (fl & 1)
@@ -736,7 +761,8 @@ def _rds_bwd(vpu, n_slabs, tile_rows, t_eps, interpret, saved, g):
         for cls in (1, -1):
             quad = jnp.full((1,), cls, jnp.int32)
             o = integrate_bwd_tiles(
-                quad, r6, entries[cls][s], *tb, cts, totals_t,
+                quad, occ_words(tb[0]), r6, entries[cls][s], *tb, cts,
+                totals_t,
                 bsize=sub_bsize, vpu=float(vpu), tile_rows=tile_rows,
                 t_eps=t_eps, interpret=interpret)
             acc = o if acc is None else tuple(a + b
