@@ -39,22 +39,23 @@ def _env(devices_per_process):
     return env
 
 
-def _run_single(timeout=600):
+def _run_single(timeout=600, mode="replicated"):
     out = subprocess.run(
-        [sys.executable, _WORKER, "--steps", "3"],
+        [sys.executable, _WORKER, "--steps", "3", "--mode", mode],
         env=_env(8), capture_output=True, text=True, timeout=timeout,
         cwd=_ROOT)
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _run_multi(timeout=600):
+def _run_multi(timeout=600, mode="replicated"):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, "--coordinator", coord,
-             "--num-processes", "2", "--process-id", str(i), "--steps", "3"],
+             "--num-processes", "2", "--process-id", str(i), "--steps", "3",
+             "--mode", mode],
             env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=_ROOT)
         for i in range(2)
@@ -91,3 +92,29 @@ def test_two_process_train_matches_single_process():
     assert lm[-1] < lm[0], f"loss did not decrease: {lm}"
     # identical global compute; tolerance covers reduction-order FP only
     np.testing.assert_allclose(lm, ls, rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_grid_sharded_matches_single_process():
+    """DP x MP across processes: the (GRID=2, RAYS=4) mesh lays the GRID
+    axis across the process boundary — each z-slab of sigma/albedo (and
+    its Adam moments) is owned by ONE process; rays are data-parallel
+    within each process.  The 2-process run must match the
+    single-process run on the same global mesh (identical compute,
+    different process topology)."""
+    multi = _run_multi(mode="grid")
+    assert multi["mode"] == "grid"
+    assert multi["process_count"] == 2
+    assert multi["global_devices"] == 8
+
+    single = _run_single(mode="grid")
+    assert single["process_count"] == 1
+
+    lm, ls = np.asarray(multi["losses"]), np.asarray(single["losses"])
+    assert np.all(np.isfinite(lm))
+    assert lm[-1] < lm[0], f"loss did not decrease: {lm}"
+    np.testing.assert_allclose(lm, ls, rtol=1e-5, atol=1e-7)
+
+    # and the grid-sharded losses agree with the replicated path up to
+    # slab re-association (test_grid_train's tolerance)
+    rep = _run_single(mode="replicated")
+    np.testing.assert_allclose(lm, np.asarray(rep["losses"]), rtol=2e-4)

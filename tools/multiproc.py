@@ -31,14 +31,14 @@ def _env(devices):
     return env
 
 
-def run_multi(n_proc, devices, steps):
+def run_multi(n_proc, devices, steps, mode="replicated"):
     s = socket.socket(); s.bind(("127.0.0.1", 0))
     coord = f"127.0.0.1:{s.getsockname()[1]}"; s.close()
     t0 = time.perf_counter()
     procs = [subprocess.Popen(
         [sys.executable, _WORKER, "--coordinator", coord,
          "--num-processes", str(n_proc), "--process-id", str(i),
-         "--steps", str(steps)],
+         "--steps", str(steps), "--mode", mode],
         env=_env(devices), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, cwd=_ROOT) for i in range(n_proc)]
     outs = [p.communicate() for p in procs]
@@ -51,16 +51,31 @@ def run_multi(n_proc, devices, steps):
     return res
 
 
-def run_single(devices, steps):
+def run_single(devices, steps, mode="replicated"):
     t0 = time.perf_counter()
     out = subprocess.run(
-        [sys.executable, _WORKER, "--steps", str(steps)],
+        [sys.executable, _WORKER, "--steps", str(steps), "--mode", mode],
         env=_env(devices), capture_output=True, text=True, cwd=_ROOT)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     res = json.loads(out.stdout.strip().splitlines()[-1])
     res["wall_s"] = round(time.perf_counter() - t0, 2)
     return res
+
+
+def compare(n_proc, devices, steps, mode):
+    multi = run_multi(n_proc, devices, steps, mode)
+    single = run_single(n_proc * devices, steps, mode)
+    match = max(abs(a - b) for a, b in zip(multi["losses"],
+                                           single["losses"]))
+    eff = (multi["steps_per_s"] / single["steps_per_s"]
+           if single.get("steps_per_s") else None)
+    return {
+        "multi": multi, "single_process": single,
+        "max_loss_diff": match,
+        "steps_per_s_efficiency_vs_single": (round(eff, 3)
+                                             if eff is not None else None),
+    }
 
 
 def main():
@@ -71,16 +86,19 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
 
-    multi = run_multi(args.processes, args.devices, args.steps)
-    single = run_single(args.processes * args.devices, args.steps)
-    match = max(abs(a - b) for a, b in zip(multi["losses"],
-                                           single["losses"]))
     result = {
-        "note": "N-process jax.distributed localhost run vs the "
+        "note": "N-process jax.distributed localhost runs vs the "
                 "single-process run on the same global device count; "
-                "losses must match up to reduction order",
-        "multi": multi, "single_process": single,
-        "max_loss_diff": match,
+                "losses must match up to reduction order.  'replicated' "
+                "= pure ray-DP; 'grid' = DP x MP with z-slabs of the "
+                "grid owned by DIFFERENT processes "
+                "(parallel/grid_train.py).  steps_per_s is steady-state "
+                "(first/compile step excluded); on this 2-core host the "
+                "2-process run shares cores, so efficiency ~1.0 means "
+                "the process boundary itself costs nothing",
+        "replicated": compare(args.processes, args.devices, args.steps,
+                              "replicated"),
+        "grid": compare(args.processes, args.devices, args.steps, "grid"),
     }
     print(json.dumps(result, indent=1))
     with open(os.path.join(_ROOT, "MULTIPROC.json"), "w") as f:

@@ -54,7 +54,16 @@ def build_problem(n_rays=512, g=32):
             np.ascontiguousarray(d.reshape(-1, 3), np.float32))
 
 
-def run(steps: int = 3, n_rays: int = 512, g: int = 32):
+def run(steps: int = 3, n_rays: int = 512, g: int = 32,
+        mode: str = "replicated"):
+    """mode="replicated": pure ray-DP mesh, grid replicated.
+    mode="grid": DP x MP — (GRID=2, RAYS=D/2) mesh with the GRID axis
+    laid out ACROSS the process boundary (device order puts process 0's
+    devices first, so reshape(2, -1) row 0 = process 0): each z-slab of
+    sigma/albedo and its optimizer moments live on one process only,
+    exercising the brick-sharded axis at multi-host scope."""
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,7 +75,15 @@ def run(steps: int = 3, n_rays: int = 512, g: int = 32):
     from voxel_tracer_tpu.parallel.sharding import make_train_step
 
     devices = np.asarray(jax.devices())
-    mesh = Mesh(devices, (RAYS,))
+    if mode == "grid":
+        from voxel_tracer_tpu.parallel.grid_shard import GRID
+        from voxel_tracer_tpu.parallel.grid_train import (
+            make_grid_sharded_train_step)
+        mesh = Mesh(devices.reshape(2, -1), (GRID, RAYS))
+        grid_sh = NamedSharding(mesh, P(GRID))
+    else:
+        mesh = Mesh(devices, (RAYS,))
+        grid_sh = None
     ray_sh = NamedSharding(mesh, P(RAYS))
     rep = NamedSharding(mesh, P())
 
@@ -87,20 +104,32 @@ def run(steps: int = 3, n_rays: int = 512, g: int = 32):
         lambda s, a, o, d: render_density(s, a, o, d, vpu, max_steps)["color"]
     )(st, at, o, d)
 
-    params = {
-        "sigma": put(np.full((g, g, g), 5.0, np.float32), rep),
-        "albedo": put(np.full((g, g, g, 3), 0.5, np.float32), rep),
-    }
     optimizer = optax.adam(5e-2)
-    opt_state = jax.jit(
-        lambda p: optimizer.init(p), out_shardings=rep)(params)
-    step = make_train_step(mesh, optimizer, vpu, max_steps=max_steps)
+    p_np = {"sigma": np.full((g, g, g), 5.0, np.float32),
+            "albedo": np.full((g, g, g, 3), 0.5, np.float32)}
+    if mode == "grid":
+        params = jax.tree.map(lambda x: put(x, grid_sh), p_np)
+        opt_state = jax.tree.map(
+            lambda x: put(np.asarray(x),
+                          grid_sh if getattr(x, "ndim", 0) >= 3 else rep),
+            optimizer.init(p_np))
+        step = make_grid_sharded_train_step(mesh, optimizer, vpu,
+                                            max_steps=max_steps)
+    else:
+        params = jax.tree.map(lambda x: put(x, rep), p_np)
+        opt_state = jax.jit(
+            lambda p: optimizer.init(p), out_shardings=rep)(params)
+        step = make_train_step(mesh, optimizer, vpu, max_steps=max_steps)
 
-    losses = []
+    losses, times = [], []
     for _ in range(steps):
+        t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, o, d, target)
         losses.append(float(jax.block_until_ready(loss)))
-    return losses
+        times.append(time.perf_counter() - t0)
+    # first step includes compile; steady-state rate from the rest
+    steady = times[1:] or times
+    return losses, len(steady) / sum(steady)
 
 
 def main():
@@ -110,6 +139,8 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--rays", type=int, default=512)
+    ap.add_argument("--mode", default="replicated",
+                    choices=["replicated", "grid"])
     args = ap.parse_args()
 
     # force the virtual-CPU backend BEFORE touching jax devices
@@ -123,10 +154,12 @@ def main():
     multi = distributed.initialize(args.coordinator, args.num_processes,
                                    args.process_id)
     info = distributed.process_info()
-    losses = run(args.steps, args.rays)
+    losses, steps_per_s = run(args.steps, args.rays, mode=args.mode)
     if info["process_index"] == 0:
         print(json.dumps({
             "losses": losses,
+            "steps_per_s": round(steps_per_s, 3),
+            "mode": args.mode,
             "multi": multi,
             "process_count": info["process_count"],
             "global_devices": info["global_devices"],
