@@ -1,73 +1,123 @@
-"""Headless arcade-game demo (the reference's game loop without GLFW).
+"""Headless arcade-game demo, kernel-rendered EVERY frame.
 
-Simulates the drone game (src/game/) for N frames with scripted input:
-enemies steer toward the player, the laser fires and carves voxels out of
-enemy models (dynamic edits), kills respawn + restore grids.  Renders
-snapshot frames through the kernel renderer.
+The reference's deliverable is a playable game (src/game/game.cpp:28-98):
+drones steer and ROTATE each tick, the laser carves voxels out of them,
+kills respawn the model.  This demo runs that loop headless with the
+full-material kernel renderer on the dynamic multi-volume path
+(ops/pallas/multi.py):
 
-Usage: python examples/game_demo.py [--frames 120] [--render-every 60]
+  - per-frame drone motion/rotation = traced (rot, pos) arguments —
+    zero re-bake, zero recompile (scene.cpp:40-43, enemy.cpp:10-43);
+  - laser carving = O(1) `set_voxel` updates on the drone's packed
+    device tables, passed per frame as `table_state()` arguments
+    (vv.cpp:377-432); respawn reloads re-pack and re-point;
+  - the laser beam itself renders as up to 8 analytic capsule segments
+    (scene.cpp:21-24, capsule.cpp:56-70);
+  - every traversal (primary, shadows, mirror/glass bounces) runs the
+    hier3 megakernel with live-ray compaction (ops/compact.py).
+
+Writes frames + GAME_DEMO.json (honest fps accounting: wall fps
+includes the axon tunnel's ~50 ms/dispatch round trip — a harness
+artifact — so the device-side render rate is also measured with the
+multi-frame-per-dispatch methodology on a frozen game state).
+
+Usage: python examples/game_demo.py [--frames 60] [--size 1280x768]
 """
 
 import argparse
+import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=120)
-    ap.add_argument("--render-every", type=int, default=60)
-    ap.add_argument("--size", default="320x192")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", default="1280x768")
+    ap.add_argument("--render-every", type=int, default=1)
+    ap.add_argument("--save-every", type=int, default=20)
     ap.add_argument("--out-prefix", default="/tmp/game_frame")
+    ap.add_argument("--bounces", type=int, default=2)
     args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
 
     from voxel_tracer_tpu.game.enemy import Enemy
     from voxel_tracer_tpu.game.game import Game, GameState
     from voxel_tracer_tpu.game.player import Input
     from voxel_tracer_tpu.models.scene import Scene
+    from voxel_tracer_tpu.models.skydome import SkyDome
     from voxel_tracer_tpu.models.volume import VoxelVolume
     from voxel_tracer_tpu.models.vox import load_vox
-    from voxel_tracer_tpu.ops import oracle_native, oracle
+    from voxel_tracer_tpu.ops import oracle, oracle_native
+    from voxel_tracer_tpu.ops.pallas import mega
+    from voxel_tracer_tpu.ops.pallas.multi import (
+        MultiMegaIntersector, render_whitted_multi)
+    from voxel_tracer_tpu.ops.pallas.whitted import MegaIntersector
+    from voxel_tracer_tpu.renderer import RenderConfig
     from voxel_tracer_tpu.utils.framebuffer import Surface
-    from voxel_tracer_tpu.utils.timer import EmaFps, Timer
+    from voxel_tracer_tpu.utils.timer import _force_sync
 
     w, h = (int(v) for v in args.size.split("x"))
     rng = np.random.RandomState(3)
 
-    # enemy drones from the reference asset (scene.cpp:15-18)
-    try:
-        model = load_vox("/root/reference/assets/vox/enemy-drone.vox")
-        grid, pal = model.grid, model.palette_f32
-    except FileNotFoundError:
-        grid = np.full((16, 16, 16), 30, np.uint8)
-        pal = None
+    # glass test box (static scenery, scene.cpp:11-13; glass/mirror ids
+    # remapped as in bench_suite) + 4 drones (dynamic)
+    box = VoxelVolume.from_vox(
+        "/root/reference/assets/vox/testing/glass-box.vox",
+        pos=(0.0, -0.6, -6.5))
+    box.grid[box.grid == 16] = 4
+    box.grid[box.grid == 62] = 12
 
-    enemies = []
-    vols = []
+    model = load_vox("/root/reference/assets/vox/enemy-drone.vox")
+    grid, pal = model.grid, model.palette_f32
+
+    enemies, vols = [], []
     for i in range(4):
-        vol = VoxelVolume(grid.copy(), pal, pos=(float(i), 2.0, 0.0), vpu=20.0)
+        vol = VoxelVolume(grid.copy(), pal, pos=(float(i), 2.0, 0.0),
+                          vpu=20.0)
         base = grid.copy()
         enemies.append(Enemy(vol, rng,
                              reload_fn=lambda m, b=base: np.copyto(m.grid, b)))
         vols.append(vol)
-    scene = Scene(volumes=vols)
 
+    all_vols = [box] + vols
+    scene = Scene(volumes=all_vols, skydome=SkyDome.procedural(64, 32))
+    scene.add_light((0.5, 2.5, -4.0), 0.15, (1.0, 0.9, 0.8), 40.0)
+    # 8 laser capsule slots (scene.cpp:21-24) — parked far away when idle
+    for _ in range(8):
+        scene.add_capsule((1e5, 1e5, 1e5), (1e5, 1e5, 1e5 + 0.01), 0.01)
+
+    # kernel backends: one MegaIntersector per volume on the hier3 path
+    mvs = [mega.MegaVolume(v) for v in all_vols]
+    isects = [MegaIntersector(mv, tile_rows=128, fine_iters=48,
+                              fine_unroll=4, shadow_rounds=2,
+                              block_hw=(h, w), compact=True)
+              for mv in mvs]
+    multi = MultiMegaIntersector(isects, compact_fracs=(1 / 64, 1 / 16,
+                                                        1 / 2))
+    config = RenderConfig(width=w, height=h, shading="full",
+                          max_bounces=args.bounces, glass_reflections=2,
+                          compact=True)
+
+    # host-side laser oracle (fast C++ scalar tracer)
     def intersect(o, d, medium=0):
-        """Laser scene query via the native C++ oracle (fast host-side).
-        Medium rays (glass interiors) use the Python oracle — the native
-        entry point has no medium flag."""
         best = (1e30, 0, np.zeros(3, np.float32))
-        for v in vols:
+        for v in all_vols:
             if medium:
                 hh = oracle.intersect_volume(oracle.OracleVolume(
                     grid=v.grid, vpu=v.vpu, pos=v.pos, rot=v.rot), o, d,
                     medium=medium)
-                # slab-missing volumes report (t=0, air) in medium mode
-                # (vv.cpp:228-232) — the BVH AABB pretest analog drops them
                 if not (hh.depth <= 0.0 and hh.material == 0) \
                         and hh.depth < best[0]:
                     best = (hh.depth, hh.material, hh.normal)
@@ -77,7 +127,8 @@ def main():
             if oracle_native.available():
                 r = oracle_native.trace(v.grid, v.brick_occ, v.vpu,
                                         o_l[None], d_l[None])
-                t, mat, axis = float(r["t"][0]), int(r["mat"][0]), int(r["axis"][0])
+                t, mat, axis = (float(r["t"][0]), int(r["mat"][0]),
+                                int(r["axis"][0]))
                 if t < best[0]:
                     sgn = -1.0 if d_l[axis] < 0 else 1.0
                     n_l = np.zeros(3, np.float32)
@@ -92,49 +143,148 @@ def main():
 
     game = Game(scene, enemies, intersect_fn=intersect, aspect=w / h)
     game.start()
-    # deterministic demo: park the drones ahead of the player
     for i, e in enumerate(enemies):
         e.pos = np.array([(i - 1.5) * 1.2, 0.1 * i, -5.0 - i])
         e.velocity = np.zeros(3)
         e.model.set_position(e.pos)
 
-    fps = EmaFps()
-    t_total = Timer()
-    carved0 = sum((v.grid != 0).sum() for v in vols)
+    # mirror carve/reload events into the packed device tables: hook each
+    # drone volume's set_voxel (Enemy::process_hit -> vv.cpp:377-432)
+    pending = [[] for _ in all_vols]
+    dirty = [False] * len(all_vols)
+    for vi, v in enumerate(vols, start=1):
+        orig = v.set_voxel
+
+        def hooked(x, y, z, val, _orig=orig, _vi=vi):
+            _orig(x, y, z, val)
+            pending[_vi].append((x, y, z, val))
+        v.set_voxel = hooked
+
+    for ei, e in enumerate(enemies, start=1):
+        orig_reload = e.reload_fn
+
+        def hooked_reload(m, _orig=orig_reload, _vi=ei):
+            _orig(m)
+            dirty[_vi] = True
+        e.reload_fn = hooked_reload
+
+    @jax.jit
+    def render_frame(tables, transforms, cam, sd):
+        m2 = multi.with_state(transforms=transforms, tables=tables)
+        out = render_whitted_multi(m2, sd, cam, w, h, 0, config=config)
+        return out["image"]
+
+    def sync_tables():
+        for vi in range(len(all_vols)):
+            if dirty[vi]:
+                mvs[vi].refresh()
+                isects[vi].refresh_tables()
+                dirty[vi] = False
+                pending[vi].clear()
+            for (x, y, z, val) in pending[vi]:
+                isects[vi].set_voxel(x, y, z, val)
+            pending[vi].clear()
+
+    def frame_state():
+        sync_tables()
+        tables = multi.table_states()
+        transforms = [(jnp.asarray(v.rot, jnp.float32),
+                       jnp.asarray(v.pos, jnp.float32)) for v in all_vols]
+        # laser capsules from this frame's path (game.cpp:76-83)
+        segs = []
+        pts = game.laser_path
+        for si in range(8):
+            if pts is not None and si + 1 < len(pts):
+                segs.append((np.asarray(pts[si], np.float32),
+                             np.asarray(pts[si + 1], np.float32)))
+            else:
+                far = np.array([1e5, 1e5, 1e5], np.float32)
+                segs.append((far, far + np.array([0, 0, 0.01], np.float32)))
+        scene.capsules = []
+        for a, b in segs:
+            scene.add_capsule(a, b, 0.02)
+        sd = scene.data()
+        cam = game.player.camera(w / h)
+        return tables, transforms, cam, sd
+
+    carved0 = sum((v.grid != 0).sum() for v in all_vols)
+    t_sim = t_render = 0.0
+    rendered = 0
+    t_wall0 = time.perf_counter()
     for frame in range(args.frames):
-        t = Timer()
-        # auto-aim at the nearest enemy (demo stand-in for mouse input)
+        t0 = time.perf_counter()
         tgt = min(enemies,
                   key=lambda e: np.linalg.norm(e.pos - game.player.pos))
         d = tgt.pos - game.player.pos
         d = d / max(np.linalg.norm(d), 1e-9)
         game.player.yaw = float(np.arctan2(-d[0], -d[2]))
         game.player.pitch = float(np.clip(np.arcsin(d[1]), -1.5, 0.4))
-        inp = Input(fire=(frame % 2 == 0))
-        game.tick(1 / 60, inp)
-        fps.update(max(t.elapsed(), 1e-6))
+        game.tick(1 / 60, Input(fire=(frame % 2 == 0)))
         if game.state == GameState.GAME_OVER:
-            print(f"frame {frame}: game over (score {game.score})")
             game.start()
+        t_sim += time.perf_counter() - t0
 
-    carved1 = sum((v.grid != 0).sum() for v in vols)
-    print(f"simulated {args.frames} frames in {t_total.elapsed():.2f}s "
-          f"(sim {fps.fps:.0f} fps)")
-    print(f"score: {game.score}, voxels carved: {carved0 - carved1}")
-    print(f"laser path points last frame: {len(game.laser_path)}")
+        if frame % args.render_every == 0:
+            t0 = time.perf_counter()
+            tables, transforms, cam, sd = frame_state()
+            img = render_frame(tables, transforms, cam, sd)
+            jax.block_until_ready(img)
+            t_render += time.perf_counter() - t0
+            rendered += 1
+            if frame % args.save_every == 0:
+                surf = Surface(w, h).from_float(np.asarray(img))
+                from voxel_tracer_tpu.game.gui import GameGui, draw_game_gui
+                draw_game_gui(surf, game, GameGui())
+                surf.save_png(f"{args.out_prefix}_{frame:04d}.png")
+    wall = time.perf_counter() - t_wall0
 
-    # render a final snapshot with HUD through the kernel renderer
-    from voxel_tracer_tpu.ops.pallas.renderer_fast import (FastScene,
-                                                           render_lambert_fast)
-    cam = game.player.camera(w / h)
-    fs = FastScene.build(vols)
-    out = render_lambert_fast(fs, cam, w, h)
-    surf = Surface(w, h).from_float(np.asarray(out["image"]))
-    from voxel_tracer_tpu.game.gui import GameGui, draw_game_gui
-    draw_game_gui(surf, game, GameGui())   # state-dispatched HUD/menu
-    path = f"{args.out_prefix}_final.png"
-    surf.save_png(path)
-    print(f"wrote {path}")
+    carved1 = sum((v.grid != 0).sum() for v in all_vols)
+    # device-side render rate on a frozen state (multi-frame dispatch —
+    # the same methodology as bench.py; excludes the ~50 ms tunnel RTT)
+    tables, transforms, cam, sd = frame_state()
+
+    @jax.jit
+    def batched(nf, tables, transforms, cam, sd):
+        def body(s):
+            i, acc = s
+            m2 = multi.with_state(transforms=transforms, tables=tables)
+            out = render_whitted_multi(m2, sd, cam, w, h, i,
+                                       config=config)
+            return i + 1, acc + out["image"][0, 0, 0] * 1e-38
+        return jax.lax.while_loop(lambda s: s[0] < nf, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))[1]
+
+    nf = 8
+    r = batched(jnp.int32(1), tables, transforms, cam, sd)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = batched(jnp.int32(nf + 1), tables, transforms, cam, sd)
+    jax.block_until_ready(r)
+    dt_batched = (time.perf_counter() - t0) / (nf + 1)
+
+    result = {
+        "resolution": f"{w}x{h}",
+        "frames_simulated": args.frames,
+        "frames_rendered": rendered,
+        "wall_fps": round(args.frames / wall, 2),
+        "render_ms_per_frame_walled": round(t_render / max(rendered, 1)
+                                            * 1e3, 1),
+        "render_fps_device": round(1.0 / dt_batched, 2),
+        "render_ms_per_frame_device": round(dt_batched * 1e3, 1),
+        "sim_ms_per_frame": round(t_sim / args.frames * 1e3, 2),
+        "voxels_carved": int(carved0 - carved1),
+        "score": game.score,
+        "volumes": len(all_vols),
+        "config": {"bounces": args.bounces, "glass_reflections": 2,
+                   "shading": "full", "compact": True,
+                   "dynamic_rotating_volumes": 4},
+        "note": "wall numbers include the axon tunnel's ~50 ms/dispatch "
+                "round trip (harness artifact); render_fps_device uses "
+                "the multi-frame-per-dispatch methodology",
+    }
+    print(json.dumps(result, indent=1))
+    with open(os.path.join(_ROOT, "GAME_DEMO.json"), "w") as f:
+        json.dump(result, f, indent=1)
     return 0 if (carved0 - carved1) > 0 else 1
 
 
