@@ -99,16 +99,18 @@ def main():
         scene.add_capsule((1e5, 1e5, 1e5), (1e5, 1e5, 1e5 + 0.01), 0.01)
 
     # kernel backends: one MegaIntersector per volume on the hier3 path
+    # bucket ladders multiply across nesting levels (outer shade_full x
+    # per-stage x per-volume switch branches all appear in the jaxpr) —
+    # keep each ladder short so the 5-volume graph compiles in minutes
     mvs = [mega.MegaVolume(v) for v in all_vols]
     isects = [MegaIntersector(mv, tile_rows=128, fine_iters=48,
                               fine_unroll=4, shadow_rounds=2,
-                              block_hw=(h, w), compact=True)
+                              block_hw=(h, w))
               for mv in mvs]
-    multi = MultiMegaIntersector(isects, compact_fracs=(1 / 64, 1 / 16,
-                                                        1 / 2))
+    multi = MultiMegaIntersector(isects, compact_fracs=(1 / 16,))
     config = RenderConfig(width=w, height=h, shading="full",
                           max_bounces=args.bounces, glass_reflections=2,
-                          compact=True)
+                          compact=True, compact_fracs=(1 / 16,))
 
     # host-side laser oracle (fast C++ scalar tracer)
     def intersect(o, d, medium=0):

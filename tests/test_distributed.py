@@ -115,6 +115,7 @@ def test_two_process_grid_sharded_matches_single_process():
     np.testing.assert_allclose(lm, ls, rtol=1e-5, atol=1e-7)
 
     # and the grid-sharded losses agree with the replicated path up to
-    # slab re-association (test_grid_train's tolerance)
+    # slab re-association — compounded through 3 Adam steps (lr 5e-2),
+    # so looser than test_grid_train's single-association tolerance
     rep = _run_single(mode="replicated")
-    np.testing.assert_allclose(lm, np.asarray(rep["losses"]), rtol=2e-4)
+    np.testing.assert_allclose(lm, np.asarray(rep["losses"]), rtol=5e-3)

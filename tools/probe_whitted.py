@@ -34,6 +34,8 @@ def main():
                     help="comma-separated subset of variant names")
     ap.add_argument("--compact", action="store_true",
                     help="live-ray compaction (config.compact + isect)")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact XLA-DDA fallback for the kernel residue")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +71,8 @@ def main():
     def mk_isect(shadow_rounds):
         return MegaIntersector(mv, tile_rows=128, fine_iters=48,
                                fine_unroll=4, shadow_rounds=shadow_rounds,
-                               block_hw=(H, W), compact=args.compact)
+                               block_hw=(H, W), compact=args.compact,
+                               exact_fallback=args.exact)
 
     def cam_at(theta):
         px = c0[0] + 3.2 * jnp.cos(theta * 10.0)

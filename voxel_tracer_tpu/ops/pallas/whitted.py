@@ -37,9 +37,17 @@ isect=MegaIntersector(...))` runs the full Whitted shader unchanged on
 the kernel backend — parity with the XLA wavefront by construction, up to
 traversal FP boundary flips.
 
-Single-volume scenes only (merge aligned scenes with
-`renderer_fast.bake_aligned_scene` first — the same restriction as the
-other kernel pipelines).
+Single-volume intersector; dynamic multi-volume scenes (moving/rotating
+objects) compose per-volume instances via `ops/pallas/multi.py`;
+static aligned scenes can instead merge via
+`renderer_fast.bake_aligned_scene`.
+
+With ``exact_fallback=True`` the kernel's unresolvable residue — rays
+fighting their tile's majority axis after every resolve pass, and
+shadow walks truncated at `shadow_rounds` — re-traces on the exact XLA
+wavefront DDA (compacted, inside the same jit), eliminating the
+miss/unoccluded degradation class entirely (vv.cpp:314-335 exact
+semantics).
 """
 
 from __future__ import annotations
@@ -85,7 +93,8 @@ class MegaIntersector:
     def __init__(self, mv: mega.MegaVolume, *, tile_rows=8, fine_iters=48,
                  fine_unroll=4, max_bricks_per_tile=64, shadow_rounds=4,
                  block_hw=None, resolve_passes=2, compact=False,
-                 list_tile_rows=None, interpret=False):
+                 list_tile_rows=None, exact_fallback=False,
+                 interpret=False):
         self.mv = mv
         vol = mv.volume
         self.grid_j = jnp.asarray(vol.grid.astype(np.int32))
@@ -119,6 +128,15 @@ class MegaIntersector:
         # rounds (rounds >= 2 process only rays that transmitted through
         # a glass/mirror voxel — a few percent of the list).
         self.compact = compact
+        # Route the kernel's unresolvable residue — rays still fighting
+        # their tile's majority axis after every resolve pass, and
+        # shadow rays deeper than `shadow_rounds` voxels — through the
+        # exact XLA wavefront DDA inside the same jit (compacted), so
+        # the miss/unoccluded degradation (a light leak) never happens.
+        self.exact_fallback = exact_fallback
+        self.grid_dda = self.grid_j                  # (Z, Y, X) int32
+        self.brick_occ_j = jnp.asarray(
+            np.asarray(vol.brick_occ).astype(np.int32))
         self.interpret = interpret
         # Square-block ray ordering (same trick as the lambert pipeline's
         # shadow_block): when a ray list is a full H x W wavefront in
@@ -169,6 +187,9 @@ class MegaIntersector:
         self.full_tables = (self.mv.occ16, self.mv.ensure_axes())
         self.matw_j = self.mv.tables.matw
         self.grid_j = self.grid_j.at[z, y, x].set(jnp.int32(val))
+        self.grid_dda = self.grid_j
+        self.brick_occ_j = jnp.asarray(
+            np.asarray(self.mv.volume.brick_occ).astype(np.int32))
         self._repack_inv()
 
     def refresh_tables(self):
@@ -180,6 +201,9 @@ class MegaIntersector:
         self.matw_j = self.mv.tables.matw
         self.grid_j = jnp.asarray(
             self.mv.volume.grid.astype(np.int32))
+        self.grid_dda = self.grid_j
+        self.brick_occ_j = jnp.asarray(
+            np.asarray(self.mv.volume.brick_occ).astype(np.int32))
         self._repack_inv()
 
     def _repack_inv(self):
@@ -192,7 +216,7 @@ class MegaIntersector:
         """The per-frame-dynamic device arrays (for passing as traced
         jit arguments so edits don't retrace)."""
         return (self.full_tables[0], self.full_tables[1], self.matw_j,
-                self.grid_j)
+                self.grid_j, self.brick_occ_j)
 
     def with_table_state(self, st):
         import copy
@@ -200,15 +224,62 @@ class MegaIntersector:
         v2.full_tables = (st[0], st[1])
         v2.matw_j = st[2]
         v2.grid_j = st[3]
+        v2.grid_dda = st[3]
+        v2.brick_occ_j = st[4]
         return v2
 
     # -- low-level ---------------------------------------------------------
 
-    def _trace(self, o_l, d_l, tables, fetch=False):
+    def _dda_fallback(self, need, o_l, d_l, medium=None, shadow_seed=None):
+        """Exact XLA wavefront DDA (vv.cpp:127-369 semantics) on the
+        compacted ``need`` subset — the escape hatch for rays the tiled
+        kernel cannot resolve.  Returns full-size dict(ok, t, mat, ax,
+        steps); ``medium`` (python int) switches to the interior-exit
+        march on that id (vv.cpp:166-232); ``shadow_seed`` enables the
+        exact stochastic shadow walk (vv.cpp:314-327)."""
+        from voxel_tracer_tpu.ops import dda
+        from voxel_tracer_tpu.ops.compact import bucket_caps, masked_apply
+
+        n = o_l.shape[0]
+        extra = () if shadow_seed is None else (shadow_seed,)
+
+        def run(lv, _idx, o_g, d_g, *ex):
+            o_p = jnp.where(lv[:, None], o_g, 1e6)
+            d_p = jnp.where(lv[:, None], d_g,
+                            jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+            kw = {}
+            if medium is not None:
+                kw["medium"] = jnp.full((o_g.shape[0],), medium, jnp.int32)
+            if shadow_seed is not None:
+                kw["shadow"] = True
+                kw["shadow_seed"] = ex[0]
+            r = dda.intersect_volume_local(
+                self.grid_dda, self.brick_occ_j, o_p, d_p, self.vpu, **kw)
+            sgn_k = jnp.take_along_axis(
+                r["step_sign"], r["axis"][:, None], axis=1)[:, 0]
+            ax = r["axis"] * 2 + (sgn_k > 0).astype(jnp.int32)
+            ok = lv & (r["t"] < BIG_F32)
+            return (ok, jnp.where(ok, r["t"], BIG_F32),
+                    jnp.where(ok, r["mat"].astype(jnp.int32), 0), ax,
+                    r["steps"])
+
+        fill = (jnp.zeros((n,), bool), jnp.full((n,), BIG_F32),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32))
+        ok, t, mat, ax, steps = masked_apply(
+            need, run, (o_l, d_l) + extra, fill,
+            bucket_caps(n, (1 / 16,)))
+        return dict(ok=ok, t=t, mat=mat, ax=ax, steps=steps)
+
+    def _trace(self, o_l, d_l, tables, fetch=False, fallback_medium=None):
         """trace_rays on (occ16, occw3) hier3 tables; returns dict with
         t/ax/steps/resolved of the ORIGINAL (unpadded) ray count.
         fetch=True resolves the hit voxel's ORIGINAL material in-kernel
-        (tile-end vote against the 8^3 matw table) as res["mat"]."""
+        (tile-end vote against the 8^3 matw table) as res["mat"].
+        With ``exact_fallback`` the still-unresolved residue is re-traced
+        by the exact XLA DDA and merged as resolved; inverted-table
+        callers pass ``fallback_medium`` = their glass id so the
+        fallback runs the matching interior-exit semantics."""
         occ16, occw3 = tables
         blocked = (self.block is not None
                    and o_l.shape[0] == self.block[0] * self.block[1])
@@ -249,6 +320,19 @@ class MegaIntersector:
             h, w, th, tw = self.block
             res = {k: untile_raster(v, h, w, th, tw)
                    for k, v in res.items()}
+        if self.exact_fallback:
+            need = ~res["resolved"]
+            fb = self._dda_fallback(need, o_l, d_l,
+                                    medium=fallback_medium)
+            res = dict(
+                t=jnp.where(need,
+                            jnp.where(fb["ok"], fb["t"], mega.BIG),
+                            res["t"]),
+                mat=jnp.where(need, fb["mat"], res["mat"]),
+                ax=jnp.where(need, fb["ax"], res["ax"]),
+                steps=res["steps"] + jnp.where(need, fb["steps"], 0),
+                resolved=res["resolved"] | need,
+            )
         return res
 
     def _hit_cell(self, o_l, d_l, t, ax):
@@ -360,7 +444,8 @@ class MegaIntersector:
         (vv.cpp:328-335): pass through g-voxels until the first non-g
         voxel; if that voxel is air, the ray has "exited" and ANY solid
         voxel from there on hits (including g again)."""
-        resB = self._trace(o_l, d_l, self.inv_tables[g], fetch=True)
+        resB = self._trace(o_l, d_l, self.inv_tables[g], fetch=True,
+                           fallback_medium=g)
         okB = (resB["t"] < mega.BIG) & resB["resolved"]
         vB = resB["mat"]
         solidB = okB & (vB > 0)
@@ -427,7 +512,7 @@ class MegaIntersector:
                 r = self._shadow_rounds(
                     (o_p, d_p, sd_g, lv, tb_g, ht_g, hm_g, ha_g, st_g),
                     self.shadow_rounds - 1)
-                return r[5], r[6], r[7], r[8]
+                return self._shadow_finish(r)
 
             hit_t, hit_mat, hit_ax, steps = masked_apply(
                 live, tail,
@@ -436,7 +521,7 @@ class MegaIntersector:
                 bucket_caps(n, (1 / 16, 1 / 4)))
         else:
             st = self._shadow_rounds(state0, self.shadow_rounds)
-            hit_t, hit_mat, hit_ax, steps = st[5], st[6], st[7], st[8]
+            hit_t, hit_mat, hit_ax, steps = self._shadow_finish(st)
 
         ok_any = hit_t < BIG_F32
         normal = self._normal(hit_ax)
@@ -489,6 +574,24 @@ class MegaIntersector:
         return (o_cur, d_l, shadow_seed, live, t_base, hit_t, hit_mat,
                 hit_ax, steps)
 
+    def _shadow_finish(self, st):
+        """Close out a shadow walk: rays still live after the last round
+        previously counted as TRANSMITTED (truncation bias).  With
+        `exact_fallback` they continue on the exact XLA shadow DDA from
+        their current position — `hash_shadow` keys on the voxel CELL,
+        so the continuation's roll sequence is exactly what the
+        untruncated walk would have rolled."""
+        o_cur, d_l, seed, live, t_base, hit_t, hit_mat, hit_ax, steps = st
+        if not self.exact_fallback:
+            return hit_t, hit_mat, hit_ax, steps
+        fb = self._dda_fallback(live, o_cur, d_l, shadow_seed=seed)
+        occ = live & fb["ok"]
+        hit_t = jnp.where(occ, t_base + fb["t"], hit_t)
+        hit_mat = jnp.where(occ, fb["mat"], hit_mat)
+        hit_ax = jnp.where(occ, fb["ax"], hit_ax)
+        steps = steps + jnp.where(live, fb["steps"], 0)
+        return hit_t, hit_mat, hit_ax, steps
+
     def march_interior(self, scene, obj, origins, dirs, medium,
                        max_steps=None) -> HitResult:
         """Interior exit march (medium semantics, vv.cpp:166-232): trace
@@ -516,7 +619,8 @@ class MegaIntersector:
         steps = jnp.zeros((n,), jnp.int32)
         for g in self.glass_ids:
             sel = medium == g
-            res = self._trace(o_l, d_l, self.inv_tables[g], fetch=True)
+            res = self._trace(o_l, d_l, self.inv_tables[g], fetch=True,
+                              fallback_medium=g)
             ok = (res["t"] < mega.BIG) & res["resolved"]
             v = res["mat"]
             g_normal = self._normal(res["ax"])
