@@ -260,6 +260,21 @@ def test_mega_brick16_agrees(scene):
     np.testing.assert_array_equal(t8, t10)
     np.testing.assert_array_equal((aux10 & 255)[hit8], (aux8 & 255)[hit8])
 
+    # hier3 + sub-tile convergence groups (conv_rows: per-row-group fine
+    # votes + whole-visit skips; measured SLOWER on the dense bench at
+    # every group size — tools/sweep.py round 5, PERF.md — but exact):
+    # same output
+    t10c = {}
+    for cr in (0, 8):
+        _, tc, auxc = mega.render_mega_tiles(
+            cam_p, mv.occ16, mv.ensure_axes(), jnp.zeros((1, 1), jnp.int32),
+            mv.matw16, mv.pal, width=64, height=32, fine_iters=96,
+            fine_unroll=4, interpret=True, mat16=True, traversal="hier3",
+            tile_rows=16, tile_w=64, conv_rows=cr, **mv.brick16_kw())
+        t10c[cr] = (np.asarray(tc), np.asarray(auxc))
+    np.testing.assert_array_equal(t10c[0][0], t10c[8][0])
+    np.testing.assert_array_equal(t10c[0][1], t10c[8][1])
+
     # hier3 + 4^3 block skipping (sub_skip, pack_sub4_axes in the wsm
     # slot; measured slower on the dense bench — span scanning already
     # clears empty space — but supported): same output

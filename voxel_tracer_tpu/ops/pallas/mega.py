@@ -602,7 +602,7 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                       traversal="brick", mat_rounds=128,
                       ray_source="camera", brick=BRICK, mat_bsize=None,
                       matw_space="vmem", mat16=False, footprint="corners",
-                      sub_skip=False):
+                      sub_skip=False, conv_rows=0):
     """Build the fused kernel. sky_mode: 'analytic' | 'constant' | 'none'.
 
     matw_space: 'vmem' (material table resident on-chip — small scenes),
@@ -651,6 +651,14 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
         # (the brick_body sub-slice loop)
         assert brick == 16 and slice_depth in (1, 2), \
             "hier3 traversal requires brick=16, slice_depth in (1, 2)"
+    if conv_rows:
+        # sub-tile convergence groups: the hier3 fine march votes/exits
+        # per `conv_rows`-row group instead of per tile — each group's
+        # while_loop runs to ITS slowest ray (not the tile's), and a
+        # group none of whose rays cross the brick skips the visit
+        # entirely (no prologue).  Attacks PERF.md's "convergence tax".
+        assert traversal == "hier3", "conv_rows is a hier3 option"
+        assert conv_rows % 8 == 0, "conv_rows must be a multiple of 8 rows"
     if traversal == "hier3p":
         # k-pair span scan: the window's TWO k-slices march as ONE box
         # whose 32-voxel k-runs are synthesized from the brick pair's
@@ -1334,8 +1342,16 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                    la=(ax0k << 1) | cross.astype(jnp.int32),
                                    h_bit=jnp.full(shape, -1, jnp.int32),
                                    stp=steps)
+                        # per-lane loop-invariant inputs, bundled so the
+                        # conv_rows path can slice them per row group
+                        env0 = (occ_row, nek, neu, nev, fek, feu, fev,
+                                dk_, du_, dv_, rdk, rdu, rdv, pu3, pv3,
+                                sub_row if sub_skip else None)
 
-                        def fine_step(st):
+                        def fine_step(st, env):
+                            (occ_row, nek, neu, nev, fek, feu, fev,
+                             dk_, du_, dv_, rdk, rdu, rdv, pu3, pv3,
+                             sub_row) = env
                             la = st["la"]
                             live_b = (la & 1) > 0
                             ft = st["ft"]
@@ -1428,23 +1444,55 @@ def _make_mega_kernel(bsize, vpu, *, tile_rows, tile_w, nx_tiles,
                                     live_b, 1, 0)
                             return out
 
-                        def fine_cond(c):
-                            fi, st = c
-                            return (fi < fine_iters) \
-                                & (jnp.sum(st["la"] & 1) > 0)
+                        def march(st0g, envg):
+                            def fine_cond(c):
+                                fi, st = c
+                                return (fi < fine_iters) \
+                                    & (jnp.sum(st["la"] & 1) > 0)
 
-                        def fine_body(c):
-                            fi, st = c
-                            for _ in range(fine_unroll):
-                                st = fine_step(st)
-                            return (fi + fine_unroll, st)
+                            def fine_body(c):
+                                fi, st = c
+                                for _ in range(fine_unroll):
+                                    st = fine_step(st, envg)
+                                return (fi + fine_unroll, st)
 
-                        # 2-step prologue: most visits resolve in 1-2 span
-                        # steps (p50 = 1), so the quick majority votes and
-                        # exits before paying a full unroll chunk
-                        stp0 = fine_step(fine_step(st0))
-                        _, st = jax.lax.while_loop(fine_cond, fine_body,
-                                                   (jnp.int32(2), stp0))
+                            # 2-step prologue: most visits resolve in 1-2
+                            # span steps (p50 = 1), so the quick majority
+                            # votes and exits before paying a full unroll
+                            # chunk
+                            stp0 = fine_step(fine_step(st0g, envg), envg)
+                            _, st = jax.lax.while_loop(
+                                fine_cond, fine_body, (jnp.int32(2), stp0))
+                            return st
+
+                        if conv_rows and conv_rows < shape[0]:
+                            # row-group convergence: each group marches to
+                            # its OWN slowest ray; groups with no crossing
+                            # ray skip the visit (pass st0 through — equal
+                            # by construction: a dead-lane march never sets
+                            # h_bit and never increments stp)
+                            def _rows(x, r0, r1):
+                                if getattr(x, "ndim", 0) != 2 \
+                                        or x.shape[0] != shape[0]:
+                                    return x
+                                return x[r0:r1]
+
+                            parts = []
+                            for r0 in range(0, shape[0], conv_rows):
+                                r1 = min(r0 + conv_rows, shape[0])
+                                st0g = {kk: vv[r0:r1]
+                                        for kk, vv in st0.items()}
+                                envg = tuple(_rows(vv, r0, r1)
+                                             for vv in env0)
+                                parts.append(jax.lax.cond(
+                                    jnp.any((st0g["la"] & 1) > 0),
+                                    lambda op: march(*op),
+                                    lambda op: op[0], (st0g, envg)))
+                            st = {kk: jnp.concatenate(
+                                [p[kk] for p in parts], axis=0)
+                                for kk in st0}
+                        else:
+                            st = march(st0, env0)
                         # hit-entry t: direct slab against the hit voxel
                         hb = st["h_bit"] & 4095
                         ek_ = ((hb & 15) + 1 + pk3 - fek).astype(jnp.float32)
@@ -2440,7 +2488,7 @@ def camera_params(cam_local, rot, sun_dir, sun_scale, sky_const, width,
                      "fetch_mat", "fine_unroll", "track_steps",
                      "interpret", "slice_depth", "traversal", "mat_rounds",
                      "brick", "mat_bsize", "matw_space", "mat16",
-                     "footprint", "sub_skip"))
+                     "footprint", "sub_skip", "conv_rows"))
 def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       height, tile_rows=8, tile_w=32,
                       max_bricks_per_tile=64, fine_iters=24,
@@ -2449,7 +2497,7 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
                       track_steps=True, interpret=False, slice_depth=1,
                       traversal="brick", mat_rounds=128, brick=BRICK,
                       mat_bsize=None, matw_space="vmem", mat16=False,
-                      footprint="corners", sub_skip=False):
+                      footprint="corners", sub_skip=False, conv_rows=0):
     """Fused frame in square-tile order. Returns (rgba i32, t f32, aux i32)
     each shaped (n_tiles*tile_rows, 128).
 
@@ -2472,7 +2520,8 @@ def render_mega_tiles(cam16, occ, occw, wsm, matw, pal, *, bsize, vpu, width,
         fine_unroll=fine_unroll, track_steps=track_steps,
         slice_depth=slice_depth, traversal=traversal, mat_rounds=mat_rounds,
         brick=brick, mat_bsize=mat_bsize, matw_space=matw_space,
-        mat16=mat16, footprint=footprint, sub_skip=sub_skip)
+        mat16=mat16, footprint=footprint, sub_skip=sub_skip,
+        conv_rows=conv_rows)
 
     out_block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
