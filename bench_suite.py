@@ -67,6 +67,36 @@ def _timeit(fn, sync, rounds=3):
     return best
 
 
+def _iter_loop(body, init, k, rounds=2):
+    """Time `body` (carry -> carry, serialized by data dependence) over
+    k iterations INSIDE one jit (lax.while_loop, traced bound) and
+    return seconds per iteration.  Single-dispatch timing is unusable on
+    the axon tunnel — r4's diff/inverse numbers measured dispatch
+    latency, not device time (see PERF.md methodology notes)."""
+    import jax
+    import jax.numpy as jnp
+    from voxel_tracer_tpu.utils.timer import _force_sync
+
+    @jax.jit
+    def run(n, init):
+        def cond(c):
+            return c[0] < n
+
+        def b(c):
+            return (c[0] + 1, body(c[1]))
+
+        return jax.lax.while_loop(cond, b, (jnp.int32(0), init))
+
+    n = jnp.int32(k)
+    out = run(n, init); _force_sync(out[1])
+    best = 1e9
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = run(n, init); _force_sync(out[1])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
 def bench_flat_256():
     import jax, jax.numpy as jnp
     from voxel_tracer_tpu.models.camera import Camera
@@ -128,22 +158,27 @@ def bench_diff_lambert_512():
     d_l = jnp.broadcast_to(d0, (N, 3))
     target = jnp.zeros((N, 3))
 
-    @jax.jit
-    def fwd(sig, alb):
-        out = diff.render_density(sig, alb, o_l, d_l, 20.0, MAX_STEPS)
-        return out["color"].sum()
-
     def loss(params):
         out = diff.render_density(params["s"], params["a"], o_l, d_l, 20.0,
                                   MAX_STEPS)
         return jnp.mean((out["color"] - target) ** 2)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss))
-    params = {"s": sigma, "a": albedo}
+    grad_fn = jax.grad(loss)
 
-    sync = lambda x: jax.block_until_ready(x)
-    dt_f = _timeit(lambda: fwd(sigma, albedo), sync)
-    dt_b = _timeit(lambda: grad_fn(params), sync)
+    # every measurement below runs K serialized iterations inside ONE
+    # jit (_iter_loop): the XLA wavefront is slow, so K stays small
+    def xla_fwd_body(c):
+        s, acc = c
+        out = diff.render_density(s, albedo, o_l, d_l, 20.0, MAX_STEPS)
+        l = out["color"].sum()
+        return (s + l * 1e-30, acc + l)
+
+    def xla_bwd_body(p):
+        g = grad_fn(p)
+        return {"s": p["s"] - 1e-6 * g["s"], "a": p["a"] - 1e-6 * g["a"]}
+
+    dt_f = _iter_loop(xla_fwd_body, (sigma, jnp.float32(0.0)), 2, rounds=1)
+    dt_b = _iter_loop(xla_bwd_body, {"s": sigma, "a": albedo}, 2, rounds=1)
 
     # surface path: palette gradients through the Lambert shading of the
     # discrete hits (ops/diff_surface.py)
@@ -162,11 +197,11 @@ def bench_diff_lambert_512():
     from voxel_tracer_tpu.ops.diff_surface import palette_fit_loss_mega
     from voxel_tracer_tpu.ops.pallas import mega as _mega
     mv = _mega.MegaVolume(vol)
-    sgrad = jax.jit(jax.grad(
+    sgrad = jax.grad(
         lambda p: palette_fit_loss_mega(
             p, mv, cam, 512, 512, tgt, tile_rows=32, tile_w=64,
-            fine_unroll=6, track_steps=False, use_brick16=True)))
-    dt_s = _timeit(lambda: sgrad(pal), sync)
+            fine_unroll=6, track_steps=False, use_brick16=True))
+    dt_s = _iter_loop(lambda p: p - 1e-3 * sgrad(p), pal, 4)
 
     # Pallas integrate kernels (ops/pallas/diffint.py): the framework's
     # fast path — brick-staged march + MXU-histogram backward scatter
@@ -175,20 +210,27 @@ def bench_diff_lambert_512():
     dt_ = diffint.tile_raster(d, 512, 512)
     tgt_img = jax.random.uniform(jax.random.PRNGKey(7), (N, 3))
 
-    @jax.jit
-    def pfwd(sig, alb):
-        out = diffint.render_density_mega(sig, alb, ot, dt_, 20.0, 8,
-                                          1e-4, False)
-        return out["color"].sum() + out["trans"].sum()
-
     def ploss(sig, alb):
         out = diffint.render_density_mega(sig, alb, ot, dt_, 20.0, 8,
                                           1e-4, False)
         return jnp.mean((out["color"] - tgt_img) ** 2)
 
-    pgrad = jax.jit(jax.grad(ploss, argnums=(0, 1)))
-    dt_pf = _timeit(lambda: pfwd(sigma, albedo), sync)
-    dt_pb = _timeit(lambda: pgrad(sigma, albedo), sync)
+    pgrad = jax.grad(ploss, argnums=(0, 1))
+
+    def pfwd_body(c):
+        s, acc = c
+        out = diffint.render_density_mega(s, albedo, ot, dt_, 20.0, 8,
+                                          1e-4, False)
+        l = out["color"].sum() + out["trans"].sum()
+        return (s + l * 1e-30, acc + l)
+
+    def pbwd_body(c):
+        s, a = c
+        gs, ga = pgrad(s, a)
+        return (s - 1e-6 * gs, a - 1e-6 * ga)
+
+    dt_pf = _iter_loop(pfwd_body, (sigma, jnp.float32(0.0)), 8)
+    dt_pb = _iter_loop(pbwd_body, (sigma, albedo), 8)
 
     return {"metric": "diff_lambert_512",
             "value": round(N / dt_pb),
@@ -398,22 +440,41 @@ def bench_inverse_128():
                                            8, 8, 1e-4, False)
         return jnp.mean((out["color"] - target) ** 2)
 
-    @jax.jit
-    def step(p, st):
-        l, g = jax.value_and_grad(loss)(p)
-        up, st = opt.update(g, st, p)
-        return optax.apply_updates(p, up), st, l
+    # K optimizer steps inside ONE jit (lax.while_loop, traced bound) —
+    # the same sustained-loop methodology as every frame bench: this is
+    # how a real training loop runs on TPU, and it excludes the axon
+    # tunnel's per-dispatch round trip (a harness artifact that
+    # otherwise bounds this metric at ~1/trip_latency regardless of
+    # device time; see PERF.md methodology notes)
+    STEPS = int(os.environ.get("BENCH_INVERSE_STEPS", "16"))
 
-    params, opt_state, l0 = step(params, opt_state); _force_sync(l0)
+    @jax.jit
+    def run_steps(p, st, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, p, st, _ = c
+            l, g = jax.value_and_grad(loss)(p)
+            up, st2 = opt.update(g, st, p)
+            return i + 1, optax.apply_updates(p, up), st2, l
+
+        return jax.lax.while_loop(
+            cond, body, (jnp.int32(0), p, st, jnp.float32(0.0)))
+
+    n = jnp.int32(STEPS)
+    _, params, opt_state, l0 = run_steps(params, opt_state, n)
+    _force_sync(l0)
     best = 1e9
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        params, opt_state, l = step(params, opt_state); _force_sync(l)
-        best = min(best, time.perf_counter() - t0)
+        out = run_steps(params, opt_state, n)
+        _force_sync(out[3])
+        best = min(best, (time.perf_counter() - t0) / STEPS)
     return {"metric": "inverse_128_32views",
             "value": round(1.0 / best, 3), "unit": "train_steps/s",
             "bwd_rays_per_s": round(N / best),
-            "rays_per_step": N}
+            "rays_per_step": N, "steps_per_dispatch": STEPS}
 
 
 def main():

@@ -214,7 +214,7 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
             gt, gd = gt_r[:], gd_r[:]
             ctr, ctg, ctb = ctr_r[:], ctg_r[:], ctb_r[:]
             t_final, d_total = tfin_r[:], dtot_r[:]
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            iota_l_s = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
         def run_quad(q, state):
             # internal quadrant phases: (u, v) scan signs per iteration —
@@ -378,12 +378,18 @@ def _make_kernel(bsize, vpu, *, tile_rows, fine_iters=24, fine_unroll=4,
                                         planes.append(m * q)
                                 acc = acc_ref[:]
                                 for i in range(tile_rows):
-                                    col = jnp.transpose(lane[i:i + 1, :])
-                                    P = (col == iota_l).astype(jnp.float32)
+                                    # transposed one-hot: PT[c, a] =
+                                    # (lane[i, a] == c) via a sublane
+                                    # broadcast + iota compare — no
+                                    # (1,128)->(128,1) relayout; the dot
+                                    # contracts PT's LANE dim instead
+                                    PT = (jnp.broadcast_to(
+                                        lane[i:i + 1, :], (LANES, LANES))
+                                        == iota_l_s).astype(jnp.float32)
                                     Vi = jnp.concatenate(
                                         [p[i:i + 1, :] for p in planes], axis=0)
                                     acc = acc + jax.lax.dot_general(
-                                        Vi, P, (((1,), (0,)), ((), ())),
+                                        Vi, PT, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                                 acc_ref[:] = acc
                                 out["Cr"], out["Cg"], out["Cb"] = Cr2, Cg2, Cb2
