@@ -127,8 +127,41 @@ def bench_flat_256():
         return rgba[0, 0].astype(jnp.float32) * 1e-38
 
     dt = _timeit(_frame_loop(frame, FRAMES), _force_sync) / FRAMES
+
+    # batched variant (PERF.md "dispatch-shape overhead"): a 65k-ray
+    # frame cannot fill the chip, so also trace B frames' ray lists as
+    # ONE ray-list kernel dispatch (square 32x32-px blocks per view) —
+    # the deployment shape for small-frame workloads (tiled inference /
+    # multi-view batches)
+    from voxel_tracer_tpu.models.camera import rays_for_image
+    from voxel_tracer_tpu.ops.composite import _to_local
+    from voxel_tracer_tpu.ops.pallas.diffint import tile_raster
+    B = 8
+
+    def frame_b(theta):
+        def rays(th):
+            px = 2.0 * jnp.cos(th) + 2.4 * jnp.sin(th)
+            pz = -2.4 * jnp.cos(th) + 2.0 * jnp.sin(th)
+            cam = Camera.create(jnp.stack([px, jnp.full_like(px, 1.4), pz]),
+                                jnp.zeros(3), W / H)
+            o, d = rays_for_image(cam, W, H)
+            o_l, d_l = _to_local(mv.rot, mv.pos, mv.pivot,
+                                 o.reshape(-1, 3), d.reshape(-1, 3))
+            return (tile_raster(o_l, H, W), tile_raster(d_l, H, W))
+        o8, d8 = jax.vmap(rays)(theta + jnp.arange(B) * 0.01)
+        r = mega.trace_rays(
+            o8.reshape(-1, 3), d8.reshape(-1, 3), mv.occ16, occw3,
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 128), jnp.int32),
+            bsize=mv.bsize16, vpu=tb.vpu, tile_rows=8, fine_iters=48,
+            fine_unroll=4, brick=16, mat_bsize=tb.bsize,
+            traversal="hier3")
+        return r["t"][0] * 1e-38
+
+    dt_b = _timeit(_frame_loop(frame_b, FRAMES // B), _force_sync) \
+        / (FRAMES // B) / B
     return {"metric": "flat_256_dense64", "value": round(W * H / dt),
-            "unit": "rays/s"}
+            "unit": "rays/s",
+            "batched8_rays_per_s": round(W * H / dt_b)}
 
 
 def bench_diff_lambert_512():
@@ -311,7 +344,7 @@ def bench_multiobj_shadow():
 
 
 def bench_full_whitted(metric="full_whitted_720p", bounces=3,
-                       glass_refl=2, frames=16):
+                       glass_refl=2, frames=16, exact=False):
     """Full material system (mirror/glass/sphere light/sun/ambient) at
     720p on the kernel backend: the reference's default frame
     (renderer.cpp:199-223 -> materials.cpp:15-48) — glass test box + 4
@@ -355,10 +388,14 @@ def bench_full_whitted(metric="full_whitted_720p", bounces=3,
     mv = mega.MegaVolume(merged)
     isect = MegaIntersector(mv, tile_rows=128, fine_iters=48,
                             fine_unroll=4, shadow_rounds=SHADOW_ROUNDS,
-                            block_hw=(H, W), compact=True)
-    # deep configs use a short bucket ladder (bounce>=1 sets are tiny);
-    # 1/16 covers the bounce-0 diffuse set, full covers close-ups
-    fracs = (1 / 64, 1 / 16, 1 / 2) if BOUNCES <= 3 else (1 / 64, 1 / 16)
+                            block_hw=(H, W), compact=True,
+                            exact_fallback=exact)
+    # deep configs use a single full-size bucket (no lax.switch): the
+    # refdepth frame is 273 kernel launches, and a 3-bucket ladder
+    # clones every masked stage's kernels per bucket — the resulting
+    # ~800-instance program crashes the remote-compile helper (measured,
+    # twice).  () -> bucket_caps yields (n,): masked but unswitched.
+    fracs = (1 / 64, 1 / 16, 1 / 2) if BOUNCES <= 3 else ()
     config = RenderConfig(width=W, height=H, shading="full",
                           max_bounces=BOUNCES, glass_reflections=GLASS_REFL,
                           compact=True, compact_fracs=fracs)
@@ -391,7 +428,7 @@ def bench_full_whitted(metric="full_whitted_720p", bounces=3,
             "value": round(W * H / dt), "unit": "primary_rays/s",
             "frames_per_s": round(1.0 / dt, 2),
             "kernel_launches_per_frame": launches,
-            "compact": True,
+            "compact": True, "exact_fallback": exact,
             "config": {"bounces": BOUNCES, "glass_reflections": GLASS_REFL,
                        "shadow_rounds": SHADOW_ROUNDS,
                        "glass_ids": isect.glass_ids}}
@@ -477,27 +514,90 @@ def bench_inverse_128():
             "rays_per_step": N, "steps_per_dispatch": STEPS}
 
 
-def main():
-    results = []
-    def bench_full_whitted_refdepth():
-        # reference recursion depth: 8 bounces + 8 internal reflections
-        # (materials.cpp:16,128)
-        return bench_full_whitted(metric="full_whitted_refdepth_720p",
-                                  bounces=8, glass_refl=8, frames=8)
-    bench_full_whitted_refdepth.__name__ = "bench_full_whitted_refdepth"
-
-    for fn in (bench_flat_256, bench_diff_lambert_512, bench_vox_brickmap,
-               bench_multiobj_shadow, bench_full_whitted,
-               bench_full_whitted_refdepth, bench_inverse_128):
+def bench_full_whitted_refdepth():
+    # reference recursion depth: 8 bounces + 8 internal reflections
+    # (materials.cpp:16,128).  The full (8,8) frame is 273 kernel
+    # launches and crashes the experimental remote-compile helper
+    # (reproduced twice: subprocess exit 1, then dropped connection) —
+    # a toolchain capacity limit, not a framework one — so a ladder
+    # records the deepest config the toolchain compiles.
+    ladder = [int(g) for g in os.environ.get(
+        "BENCH_REFDEPTH_GLASS", "8,4,2").split(",")]
+    last = None
+    for gr in ladder:
         try:
-            r = fn()
-        except Exception as e:  # report, keep going
-            r = {"metric": fn.__name__, "error": str(e)[:300]}
+            r = bench_full_whitted(metric="full_whitted_refdepth_720p",
+                                   bounces=8, glass_refl=gr, frames=8)
+            if gr < 8:
+                r["note"] = (
+                    "glass_reflections reduced from the reference's 8 "
+                    "(materials.cpp:128): the (8,8) 273-launch frame "
+                    "crashes the experimental remote-compile helper")
+            return r
+        except Exception as e:
+            last = e
+    raise last
+
+
+def bench_full_whitted_exact():
+    # exact_fallback=True: the kernel's unresolvable residue (axis
+    # fighters, truncated shadow walks) re-traces on the XLA wavefront
+    # DDA in the same jit — zero light leaks; this records its fps cost
+    return bench_full_whitted(metric="full_whitted_exact_720p",
+                              frames=8, exact=True)
+
+
+BENCHES = {
+    "flat_256": bench_flat_256,
+    "diff_lambert_512": bench_diff_lambert_512,
+    "vox_brickmap": bench_vox_brickmap,
+    "multiobj_shadow": bench_multiobj_shadow,
+    "full_whitted": bench_full_whitted,
+    "full_whitted_exact": bench_full_whitted_exact,
+    "full_whitted_refdepth": bench_full_whitted_refdepth,
+    "inverse_128": bench_inverse_128,
+}
+
+
+def main():
+    # Each bench runs in its OWN subprocess: measurements in a process
+    # that has run prior programs read wrong on the axon tunnel (the
+    # in-suite diff_lambert loop timed 8.4 ms/iter where the identical
+    # code measures 192 ms/iter in a fresh process — cross-program
+    # contamination, direction varies), and one bench's compile-helper
+    # crash (refdepth's 273-launch frame) cannot kill the suite.
+    import subprocess
+    results = []
+    for name in BENCHES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, timeout=4000)
+        r = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                r = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if r is None:
+            r = {"metric": name,
+                 "error": (proc.stderr or proc.stdout)[-300:]}
         results.append(r)
         print(json.dumps(r), flush=True)
     with open(os.path.join(_ROOT, "BENCH_SUITE.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 
+def main_one(name):
+    try:
+        r = BENCHES[name]()
+    except Exception as e:
+        r = {"metric": name, "error": str(e)[:300]}
+    print(json.dumps(r), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        main_one(sys.argv[2])
+    else:
+        main()
