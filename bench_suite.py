@@ -69,13 +69,22 @@ def _timeit(fn, sync, rounds=3):
 
 def _iter_loop(body, init, k, rounds=2):
     """Time `body` (carry -> carry, serialized by data dependence) over
-    k iterations INSIDE one jit (lax.while_loop, traced bound) and
-    return seconds per iteration.  Single-dispatch timing is unusable on
-    the axon tunnel — r4's diff/inverse numbers measured dispatch
-    latency, not device time (see PERF.md methodology notes)."""
+    an in-jit `lax.while_loop` and return seconds per iteration as the
+    K-DIFFERENTIAL slope (t(k) - t(k/4)) / (k - k/4), with every output
+    leaf fully materialized.
+
+    Both defenses are load-bearing on the axon tunnel (PERF.md): single
+    dispatches time dispatch latency, not device time (r4 artifacts);
+    and a process under queue pressure can have its host sync return
+    EARLY, reading a K-loop 20x too fast (r5 forensics,
+    tools/probe_synccheck.py: K-slope is ~185 ms/iter for the diff
+    backward in every context while flat per-dispatch readings vary
+    9-190 ms).  The slope cancels dispatch/transfer constants and any
+    early-serve offset; full materialization makes the fetch depend on
+    the whole computation."""
     import jax
     import jax.numpy as jnp
-    from voxel_tracer_tpu.utils.timer import _force_sync
+    import numpy as np
 
     @jax.jit
     def run(n, init):
@@ -87,13 +96,20 @@ def _iter_loop(body, init, k, rounds=2):
 
         return jax.lax.while_loop(cond, b, (jnp.int32(0), init))
 
-    n = jnp.int32(k)
-    out = run(n, init); _force_sync(out[1])
+    def timed(kk):
+        t0 = time.perf_counter()
+        out = run(jnp.int32(kk), init)
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+        return time.perf_counter() - t0
+
+    k1 = max(1, k // 4)
+    timed(k1)                                     # settle/warm both
     best = 1e9
     for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = run(n, init); _force_sync(out[1])
-        best = min(best, (time.perf_counter() - t0) / k)
+        t_lo = timed(k1)
+        t_hi = timed(k)
+        best = min(best, (t_hi - t_lo) / (k - k1))
     return best
 
 
@@ -164,20 +180,20 @@ def bench_flat_256():
             "batched8_rays_per_s": round(W * H / dt_b)}
 
 
-def bench_diff_lambert_512():
+def _diff_scene():
+    """Shared diff_lambert_512 setup: sparse blob field + camera rays.
+
+    The field is realistically sparse (a Gaussian blob with EXACT zeros
+    outside, ~15% voxel occupancy — real captured objects are mostly
+    empty space, and the kernel's empty-brick skip only shows on such
+    scenes); density inside stays random."""
     import jax, jax.numpy as jnp
-    from voxel_tracer_tpu.ops import diff
-    from voxel_tracer_tpu.utils.timer import _force_sync
+    from voxel_tracer_tpu.models.camera import Camera, rays_for_image
 
     N = 512 * 512
     G = 64
-    MAX_STEPS = 128
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    # realistically sparse field: a Gaussian blob with EXACT zeros
-    # outside (~15% voxel occupancy) — real captured objects are mostly
-    # empty space, and the kernel's empty-brick skip (diffint occ_words)
-    # only shows on such scenes; density inside stays random
     zz, yy, xx = jnp.meshgrid(*[jnp.linspace(0, 1, G)] * 3, indexing="ij")
     r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2 + (zz - 0.5) ** 2
     blob = 40.0 * jnp.exp(-r2 * 60.0)
@@ -189,6 +205,22 @@ def bench_diff_lambert_512():
     o_l = jnp.stack([u[:, 0], u[:, 1], jnp.full((N,), -0.5)], axis=1)
     d0 = jnp.array([0.15, 0.1, 1.0]); d0 = d0 / jnp.linalg.norm(d0)
     d_l = jnp.broadcast_to(d0, (N, 3))
+    cam = Camera.create((2.0, 1.4, -2.4), (0, 0, 0), 1.0)
+    o, d = rays_for_image(cam, 512, 512)
+    return N, sigma, albedo, o_l, d_l, cam, o, d
+
+
+# The three diff_lambert measurements run as SEPARATE suite benches
+# (own subprocesses): a process that has executed the XLA wavefront
+# programs reads later loop timings wrong even under the K-differential
+# (measured: negative slopes) — pallas-only processes measure cleanly.
+
+def bench_diff_lambert_512_xla():
+    import jax, jax.numpy as jnp
+    from voxel_tracer_tpu.ops import diff
+
+    N, sigma, albedo, o_l, d_l, _cam, _o, _d = _diff_scene()
+    MAX_STEPS = 128
     target = jnp.zeros((N, 3))
 
     def loss(params):
@@ -198,8 +230,6 @@ def bench_diff_lambert_512():
 
     grad_fn = jax.grad(loss)
 
-    # every measurement below runs K serialized iterations inside ONE
-    # jit (_iter_loop): the XLA wavefront is slow, so K stays small
     def xla_fwd_body(c):
         s, acc = c
         out = diff.render_density(s, albedo, o_l, d_l, 20.0, MAX_STEPS)
@@ -212,33 +242,41 @@ def bench_diff_lambert_512():
 
     dt_f = _iter_loop(xla_fwd_body, (sigma, jnp.float32(0.0)), 2, rounds=1)
     dt_b = _iter_loop(xla_bwd_body, {"s": sigma, "a": albedo}, 2, rounds=1)
+    return {"metric": "diff_lambert_512_xla",
+            "value": round(N / dt_b), "unit": "bwd_rays/s",
+            "xla_fwd_rays_per_s": round(N / dt_f)}
 
-    # surface path: palette gradients through the Lambert shading of the
-    # discrete hits (ops/diff_surface.py)
-    from voxel_tracer_tpu.models.camera import Camera, rays_for_image
-    from voxel_tracer_tpu.models.scene import Scene
+
+def bench_diff_surface_512():
+    # surface path: palette gradients through the Lambert shading of
+    # the discrete megakernel hits (ops/diff_surface.py)
+    import jax, jax.numpy as jnp
     from voxel_tracer_tpu.models.volume import VoxelVolume
-    from voxel_tracer_tpu.ops.diff_surface import palette_fit_loss
-
-    vol = VoxelVolume.noise_filled((64, 64, 64), vpu=20.0)
-    scene = Scene(volumes=[vol]).data()
-    cam = Camera.create((2.0, 1.4, -2.4), (0, 0, 0), 1.0)
-    o, d = rays_for_image(cam, 512, 512)
-    pal = jnp.full((256, 3), 0.5)
-    tgt = jnp.zeros((N, 3))
-    # kernel-backed: megakernel hits + differentiable palette shading
     from voxel_tracer_tpu.ops.diff_surface import palette_fit_loss_mega
     from voxel_tracer_tpu.ops.pallas import mega as _mega
+
+    N, _sigma, _albedo, _o_l, _d_l, cam, _o, _d = _diff_scene()
+    vol = VoxelVolume.noise_filled((64, 64, 64), vpu=20.0)
     mv = _mega.MegaVolume(vol)
+    pal = jnp.full((256, 3), 0.5)
+    tgt = jnp.zeros((N, 3))
     sgrad = jax.grad(
         lambda p: palette_fit_loss_mega(
             p, mv, cam, 512, 512, tgt, tile_rows=32, tile_w=64,
             fine_unroll=6, track_steps=False, use_brick16=True))
     dt_s = _iter_loop(lambda p: p - 1e-3 * sgrad(p), pal, 4)
+    return {"metric": "diff_surface_512",
+            "value": round(N / dt_s), "unit": "bwd_rays/s"}
 
+
+def bench_diff_lambert_512():
     # Pallas integrate kernels (ops/pallas/diffint.py): the framework's
-    # fast path — brick-staged march + MXU-histogram backward scatter
+    # fast path — brick-staged march + MXU-histogram backward scatter.
+    # FIRST (and only) programs in this process — see the note above.
+    import jax, jax.numpy as jnp
     from voxel_tracer_tpu.ops.pallas import diffint
+
+    N, sigma, albedo, _o_l, _d_l, _cam, o, d = _diff_scene()
     ot = diffint.tile_raster(o, 512, 512)
     dt_ = diffint.tile_raster(d, 512, 512)
     tgt_img = jax.random.uniform(jax.random.PRNGKey(7), (N, 3))
@@ -268,10 +306,7 @@ def bench_diff_lambert_512():
     return {"metric": "diff_lambert_512",
             "value": round(N / dt_pb),
             "unit": "bwd_rays/s",
-            "pallas_fwd_rays_per_s": round(N / dt_pf),
-            "xla_bwd_rays_per_s": round(N / dt_b),
-            "xla_fwd_rays_per_s": round(N / dt_f),
-            "surface_palette_bwd_rays_per_s": round(N / dt_s)}
+            "pallas_fwd_rays_per_s": round(N / dt_pf)}
 
 
 def bench_vox_brickmap():
@@ -344,7 +379,7 @@ def bench_multiobj_shadow():
 
 
 def bench_full_whitted(metric="full_whitted_720p", bounces=3,
-                       glass_refl=2, frames=16, exact=False):
+                       glass_refl=2, frames=16, exact=False, fracs=None):
     """Full material system (mirror/glass/sphere light/sun/ambient) at
     720p on the kernel backend: the reference's default frame
     (renderer.cpp:199-223 -> materials.cpp:15-48) — glass test box + 4
@@ -395,7 +430,8 @@ def bench_full_whitted(metric="full_whitted_720p", bounces=3,
     # clones every masked stage's kernels per bucket — the resulting
     # ~800-instance program crashes the remote-compile helper (measured,
     # twice).  () -> bucket_caps yields (n,): masked but unswitched.
-    fracs = (1 / 64, 1 / 16, 1 / 2) if BOUNCES <= 3 else ()
+    if fracs is None:
+        fracs = (1 / 64, 1 / 16, 1 / 2) if BOUNCES <= 3 else ()
     config = RenderConfig(width=W, height=H, shading="full",
                           max_bounces=BOUNCES, glass_reflections=GLASS_REFL,
                           compact=True, compact_fracs=fracs)
@@ -499,15 +535,22 @@ def bench_inverse_128():
         return jax.lax.while_loop(
             cond, body, (jnp.int32(0), p, st, jnp.float32(0.0)))
 
-    n = jnp.int32(STEPS)
-    _, params, opt_state, l0 = run_steps(params, opt_state, n)
-    _force_sync(l0)
+    # K-differential timing with full materialization (same defenses as
+    # _iter_loop — see its docstring / tools/probe_synccheck.py)
+    def timed(kk):
+        t0 = time.perf_counter()
+        out = run_steps(params, opt_state, jnp.int32(kk))
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)
+        return time.perf_counter() - t0
+
+    k1 = max(1, STEPS // 4)
+    timed(k1)
     best = 1e9
     for _ in range(2):
-        t0 = time.perf_counter()
-        out = run_steps(params, opt_state, n)
-        _force_sync(out[3])
-        best = min(best, (time.perf_counter() - t0) / STEPS)
+        t_lo = timed(k1)
+        t_hi = timed(STEPS)
+        best = min(best, (t_hi - t_lo) / (STEPS - k1))
     return {"metric": "inverse_128_32views",
             "value": round(1.0 / best, 3), "unit": "train_steps/s",
             "bwd_rays_per_s": round(N / best),
@@ -542,14 +585,18 @@ def bench_full_whitted_refdepth():
 def bench_full_whitted_exact():
     # exact_fallback=True: the kernel's unresolvable residue (axis
     # fighters, truncated shadow walks) re-traces on the XLA wavefront
-    # DDA in the same jit — zero light leaks; this records its fps cost
+    # DDA in the same jit — zero light leaks; this records its fps cost.
+    # Single-bucket ladder: the fallback stages on top of the 3-bucket
+    # ladder crash the remote-compile helper.
     return bench_full_whitted(metric="full_whitted_exact_720p",
-                              frames=8, exact=True)
+                              frames=8, exact=True, fracs=())
 
 
 BENCHES = {
     "flat_256": bench_flat_256,
     "diff_lambert_512": bench_diff_lambert_512,
+    "diff_lambert_512_xla": bench_diff_lambert_512_xla,
+    "diff_surface_512": bench_diff_surface_512,
     "vox_brickmap": bench_vox_brickmap,
     "multiobj_shadow": bench_multiobj_shadow,
     "full_whitted": bench_full_whitted,

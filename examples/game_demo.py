@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--save-every", type=int, default=20)
     ap.add_argument("--out-prefix", default="/tmp/game_frame")
     ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--single-bucket", action="store_true",
+                    help="one full-size compaction bucket (no lax.switch)"
+                         " — halves the compiled kernel instances when the"
+                         " remote-compile helper runs out of memory")
     args = ap.parse_args()
 
     import jax
@@ -107,10 +111,11 @@ def main():
                               fine_unroll=4, shadow_rounds=2,
                               block_hw=(h, w))
               for mv in mvs]
-    multi = MultiMegaIntersector(isects, compact_fracs=(1 / 16,))
+    fracs = () if args.single_bucket else (1 / 16,)
+    multi = MultiMegaIntersector(isects, compact_fracs=fracs)
     config = RenderConfig(width=w, height=h, shading="full",
                           max_bounces=args.bounces, glass_reflections=2,
-                          compact=True, compact_fracs=(1 / 16,))
+                          compact=True, compact_fracs=fracs)
 
     # host-side laser oracle (fast C++ scalar tracer)
     def intersect(o, d, medium=0):
